@@ -1,0 +1,136 @@
+"""Bristol-format circuit parsers (old and new fashion).
+
+Functional parity with the reference analyzer's parsing
+(``analyze_bristol``, src/analyze.cpp:56-299):
+
+* old format (src/analyze.cpp:159-180): header ``ngates nwires`` /
+  ``n_in1 n_in2 n_out1`` / blank; ops XOR, AND, INV, EQ, EQW.
+* new format (src/analyze.cpp:129-157): header ``ngates nwires`` /
+  ``n_inputs <bits...>`` / ``n_outputs <bits...>`` / blank; same ops
+  (MAND is rejected, matching the reference assembler's "not updated for the
+  new format" stance, assemble.cpp:88-90).
+
+Unlike the reference, parsing is O(G) into integer arrays (no string keys).
+Wire conventions (Bristol fashion): inputs occupy the lowest wire ids in
+declaration order; outputs are the *last* wires in declaration order.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List
+
+import numpy as np
+
+from .netlist import Netlist, Op
+
+_OP_MAP = {
+    "XOR": Op.XOR,
+    "AND": Op.AND,
+    "OR": Op.OR,
+    "INV": Op.NOT,
+    "NOT": Op.NOT,
+    "EQW": Op.EQW,
+    "NAND": Op.NAND,
+    "NOR": Op.NOR,
+    "XNOR": Op.XNOR,
+}
+
+
+def _detect_new_format(line2: List[str], line3: List[str]) -> bool:
+    """New fashion iff line2 = 'niv <bits>*niv' (count then that many widths)
+    and line3 declares outputs the same way."""
+    if not line2:
+        return False
+    try:
+        niv = int(line2[0])
+    except ValueError:
+        return False
+    return len(line2) == niv + 1 and len(line3) >= 2
+
+
+def parse_bristol(path: str, name: str | None = None, fmt: str = "auto") -> Netlist:
+    """Parse either Bristol fashion; fmt in ('auto', 'old', 'new')."""
+    with open(path) as f:
+        raw = [ln.strip() for ln in f]
+    lines = [ln for ln in raw if ln]
+    if len(lines) < 3:
+        raise ValueError(f"{path}: not a Bristol file")
+    hdr = lines[0].split()
+    n_gates, n_wires = int(hdr[0]), int(hdr[1])
+    l2 = lines[1].split()
+    l3 = lines[2].split()
+
+    is_new = fmt == "new" or (fmt == "auto" and _detect_new_format(l2, l3))
+    if is_new:
+        in_bits = [int(x) for x in l2[1:]]
+        out_bits = [int(x) for x in l3[1 : 1 + int(l3[0])]]
+        gate_lines = lines[3:]
+    else:
+        # old fashion: line2 = "n_in1 n_in2 n_out1"; gate lines follow
+        vals = [int(x) for x in l2]
+        if len(vals) == 2:
+            vals.append(0)
+        n_in1, n_in2, n_out1 = vals[0], vals[1], vals[2]
+        in_bits = [b for b in (n_in1, n_in2) if b > 0]
+        out_bits = [n_out1]
+        gate_lines = lines[2:]
+
+    ops = np.empty(n_gates, dtype=np.int32)
+    in0 = np.zeros(n_gates, dtype=np.int32)
+    in1 = np.zeros(n_gates, dtype=np.int32)
+    out = np.empty(n_gates, dtype=np.int32)
+
+    k = 0
+    for ln in gate_lines:
+        if k >= n_gates:
+            break
+        parts = ln.split()
+        opname = parts[-1]
+        if opname == "MAND":
+            raise NotImplementedError(
+                f"{path}: MAND gates are not supported (parity with the "
+                "reference assembler, assemble.cpp:88-90)"
+            )
+        n_in, n_out = int(parts[0]), int(parts[1])
+        wires = [int(x) for x in parts[2 : 2 + n_in + n_out]]
+        if opname == "EQ":
+            # constant assignment: input token is the constant 0/1
+            const = wires[0]
+            ops[k] = int(Op.EQ1 if const else Op.EQ0)
+            out[k] = wires[n_in]
+        else:
+            op = _OP_MAP.get(opname)
+            if op is None:
+                raise ValueError(f"{path}: unknown op {opname!r}")
+            ops[k] = int(op)
+            in0[k] = wires[0]
+            in1[k] = wires[1] if n_in > 1 else wires[0]
+            out[k] = wires[n_in]
+        k += 1
+    if k != n_gates:
+        raise ValueError(f"{path}: expected {n_gates} gates, found {k}")
+
+    inputs = []
+    off = 0
+    for b in in_bits:
+        inputs.append(np.arange(off, off + b, dtype=np.int32))
+        off += b
+    outputs = []
+    total_out = sum(out_bits)
+    off = n_wires - total_out
+    for b in out_bits:
+        outputs.append(np.arange(off, off + b, dtype=np.int32))
+        off += b
+
+    nl = Netlist(
+        name=name or os.path.splitext(os.path.basename(path))[0],
+        n_wires=n_wires,
+        inputs=inputs,
+        outputs=outputs,
+        op=ops,
+        in0=in0,
+        in1=in1,
+        out=out,
+    )
+    return nl

@@ -1,0 +1,358 @@
+"""TPU-native batched gate bootstrapping.
+
+This is the replacement for OpenFHE's ``EvalBinGate`` (reference call sites
+src/gate.cpp:133,171) — the operation that accounts for ~99% of the
+reference's encrypted runtime (SURVEY.md §3.5).  Instead of the reference's
+one-gate-per-OpenMP-task model (circuit.cpp:698-710), gates are evaluated in
+large batches: a whole circuit level (plus test-case batching) bootstraps as
+one ``lax.scan`` whose body is a single int8 MXU matmul.
+
+Design (GINX / CGGI blind rotation, ternary secret split into +/- parts):
+
+  * The accumulator RLWE ciphertext ACC lives as int32 [B, 2, N] in [0, Q).
+  * Each of the n scan steps gadget-decomposes ACC into signed int8 digits
+    [B, 2*d_g*N] and multiplies by the step's RGSW key, materialized as a
+    dense block-negacyclic int8 matrix [2*d_g*N, 2*2*L*N] (L = 4 key limbs).
+    The contraction is exact: |sum| <= 2*d_g*N * 128 * 128 = 2**27 < 2**31.
+  * Limb accumulators are recombined mod Q with int32-only arithmetic
+    (fhe/modmath.py), per-gate monomial rotations are applied with gathers,
+    and the CMUX add closes the step.
+  * Sample-extract, Q->Q_ks mod switch, a key-switch int8 matmul, and the
+    final Q_ks->q mod switch produce fresh gate ciphertexts.
+
+Bit-exactness: every step is exact integer arithmetic, so the whole pipeline
+matches fhe/golden.py bit-for-bit given identical keys (tests/test_boot.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import golden, modmath
+from .params import BinFHEParams, BinFHEMethod, BinGate, Q27
+
+# Fixed gate enumeration for per-gate test-vector / prep-weight tables.
+GATE_ORDER = [
+    BinGate.AND,
+    BinGate.OR,
+    BinGate.NAND,
+    BinGate.NOR,
+    BinGate.XOR,
+    BinGate.XNOR,
+]
+GATE_INDEX = {g: i for i, g in enumerate(GATE_ORDER)}
+
+# gate_prepare weights (golden.gate_prepare): prep = w1*c1 + w2*c2 mod q.
+PREP_WEIGHTS = np.array(
+    [[1, 1], [1, 1], [1, 1], [1, 1], [2, -2], [2, -2]], dtype=np.int32
+)
+
+
+# ---------------------------------------------------------------------------
+# Key packing (host side, NumPy): golden.BootstrapKey -> device arrays.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class DeviceBootKeys:
+    """Device-resident bootstrap key material.
+
+    ginx_kext : int8 [n, parts=2, rows=2*d_g, out=2, L, 2N]
+                limb decomposition of each RGSW key polynomial followed by the
+                limbs of its negation mod Q (for the negacyclic wrap).
+    ap_kext   : int8 [n, d_r, B_r, rows, out, L, 2N] (AP method only)
+    ksk       : int8 [N*d_ks, n+1, 2]  centered base-256 limbs mod Q_ks
+    tv_table  : int32 [len(GATE_ORDER), N] test vectors mod Q
+    """
+
+    params: BinFHEParams
+    method: BinFHEMethod
+    ginx_kext: Optional[jnp.ndarray]
+    ap_kext: Optional[jnp.ndarray]
+    ksk: jnp.ndarray
+    tv_table: jnp.ndarray
+
+
+def _dbk_flatten(k: DeviceBootKeys):
+    return (k.ginx_kext, k.ap_kext, k.ksk, k.tv_table), (k.params, k.method)
+
+
+def _dbk_unflatten(aux, children):
+    params, method = aux
+    ginx_kext, ap_kext, ksk, tv_table = children
+    return DeviceBootKeys(
+        params=params, method=method, ginx_kext=ginx_kext, ap_kext=ap_kext,
+        ksk=ksk, tv_table=tv_table,
+    )
+
+
+jax.tree_util.register_pytree_node(DeviceBootKeys, _dbk_flatten, _dbk_unflatten)
+
+
+def _poly_ext_limbs(polys: np.ndarray, Q: int) -> np.ndarray:
+    """[..., N] int64 mod Q -> [..., L, 2N] int8: limbs of v and of (-v mod Q).
+
+    Used to materialize negacyclic matrices on device by gathering along the
+    last (2N) axis.
+    """
+    v = np.asarray(polys, dtype=np.int64) % Q
+    neg = (Q - v) % Q
+    ext = np.concatenate([v, neg], axis=-1)  # [..., 2N]
+    limbs = modmath.to_limbs_i8(ext)  # [..., 2N, L]
+    return np.moveaxis(limbs, -1, -2)  # [..., L, 2N]
+
+
+def pack_bootstrap_key(bk: golden.BootstrapKey) -> DeviceBootKeys:
+    p = bk.params
+    Q = p.Q
+    ginx_kext = ap_kext = None
+    if bk.method == BinFHEMethod.GINX:
+        # [n, parts, rows, out, N]
+        brk = np.stack([bk.brk_pos, bk.brk_neg], axis=1)
+        ginx_kext = jnp.asarray(_poly_ext_limbs(brk, Q))
+    else:
+        ap_kext = jnp.asarray(_poly_ext_limbs(bk.ak, Q))
+
+    # Key-switch key: center mod Q_ks then 2 signed base-256 limbs.
+    Qks = p.Q_ks
+    ksk = np.asarray(bk.ksk, dtype=np.int64).reshape(p.N * p.d_ks, p.n + 1) % Qks
+    ksk_c = np.where(ksk >= Qks // 2, ksk - Qks, ksk)
+    l0 = ksk_c - ((ksk_c + 128) >> 8 << 8)  # centered low limb in [-128, 127]
+    l1 = (ksk_c - l0) >> 8  # in [-64, 64]
+    assert np.all(l0 >= -128) and np.all(l0 <= 127)
+    assert np.all(l1 >= -128) and np.all(l1 <= 127)
+    assert np.array_equal(l0 + (l1.astype(np.int64) << 8), ksk_c)
+    ksk_limbs = np.stack([l0, l1], axis=-1).astype(np.int8)
+
+    tv = np.stack([golden.make_test_vector(p, g) for g in GATE_ORDER]).astype(np.int64)
+    return DeviceBootKeys(
+        params=p,
+        method=bk.method,
+        ginx_kext=ginx_kext,
+        ap_kext=jnp.asarray(ap_kext) if ap_kext is not None else None,
+        ksk=jnp.asarray(ksk_limbs),
+        tv_table=jnp.asarray(tv, dtype=jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Device primitives (all int32-safe, jit-compatible).
+# ---------------------------------------------------------------------------
+
+
+def gadget_digits_dev(x: jnp.ndarray, B: int, d: int) -> jnp.ndarray:
+    """x int32 [...,] in [0, Q) -> int8 [..., d]; matches golden.gadget_digits."""
+    log_b = int(np.log2(B))
+    half = B // 2
+    digs = []
+    cur = x
+    for _ in range(d - 1):
+        r = cur & (B - 1)
+        r = r - (B * (r >= half)).astype(jnp.int32)
+        digs.append(r.astype(jnp.int8))
+        cur = (cur - r) >> log_b
+    digs.append(cur.astype(jnp.int8))
+    return jnp.stack(digs, axis=-1)
+
+
+def signed_digits_dev(x: jnp.ndarray, B: int, d: int) -> jnp.ndarray:
+    """All-signed digits (key switching); matches golden.signed_digits."""
+    log_b = int(np.log2(B))
+    half = B // 2
+    digs = []
+    cur = x
+    for _ in range(d):
+        r = cur & (B - 1)
+        r = r - (B * (r >= half)).astype(jnp.int32)
+        digs.append(r.astype(jnp.int8))
+        cur = (cur - r) >> log_b
+    return jnp.stack(digs, axis=-1)
+
+
+def monomial_rotate(P: jnp.ndarray, c: jnp.ndarray, N: int, Q: int) -> jnp.ndarray:
+    """P [B, ..., N] * X^{c[B]} in Z_Q[X]/(X^N+1); c in [0, 2N)."""
+    k = jnp.arange(N, dtype=jnp.int32)
+    idx = (k[None, :] - c[:, None]) & (2 * N - 1)  # [B, N]
+    wrap = idx >= N
+    idx_n = jnp.where(wrap, idx - N, idx)
+    shape = (P.shape[0],) + (1,) * (P.ndim - 2) + (N,)
+    idx_b = idx_n.reshape(shape)
+    wrap_b = wrap.reshape(shape)
+    gathered = jnp.take_along_axis(P, jnp.broadcast_to(idx_b, P.shape), axis=-1)
+    neg = jnp.where(gathered == 0, 0, Q - gathered)
+    return jnp.where(jnp.broadcast_to(wrap_b, P.shape), neg, gathered)
+
+
+def _acc_init(tv_sel: jnp.ndarray, b2N: jnp.ndarray, N: int, Q: int) -> jnp.ndarray:
+    """ACC = (0, tv * X^{b~}) as int32 [B, 2, N]."""
+    rot = monomial_rotate(tv_sel, b2N, N, Q)  # [B, N]
+    return jnp.stack([jnp.zeros_like(rot), rot], axis=1)
+
+
+def _external_cmux_ginx(acc, a_col, kext_i, idx2n, p: BinFHEParams):
+    """One GINX step: parallel CMUX pair against RGSW(s+_i), RGSW(s-_i).
+
+    acc    : int32 [B, 2, N] in [0, Q)
+    a_col  : int32 [B] = a~_i per gate, in [0, 2N)
+    kext_i : int8 [parts=2, rows, out=2, L, 2N]
+    idx2n  : int32 [N, N] constant gather index (k - i) mod 2N
+    """
+    Q, N, d_g, B_g = p.Q, p.N, p.d_g, p.B_g
+    B = acc.shape[0]
+    digs = gadget_digits_dev(acc, B_g, d_g)  # [B, 2, N, d_g]
+    digs = jnp.transpose(digs, (0, 1, 3, 2)).reshape(B, 2 * d_g, N)
+    dense = kext_i[..., idx2n]  # [parts, rows, out, L, N, N] int8
+    prod = jnp.einsum(
+        "bri,prolik->bpokl",
+        digs,
+        dense,
+        preferred_element_type=jnp.int32,
+    )  # [B, parts, out, N, L]
+    P = modmath.combine_limbs_mod_q(prod, Q)  # [B, parts, 2, N]
+    c_pos = (2 * N - a_col) & (2 * N - 1)
+    rot_pos = monomial_rotate(P[:, 0], c_pos, N, Q)
+    rot_neg = monomial_rotate(P[:, 1], a_col, N, Q)
+    y = acc + rot_pos + rot_neg + (2 * Q - P[:, 0] - P[:, 1])
+    return modmath.red31(y, Q)
+
+
+def blind_rotate_ginx_dev(
+    acc: jnp.ndarray, a2N: jnp.ndarray, keys: DeviceBootKeys
+) -> jnp.ndarray:
+    """Scan the n CMUX steps.  a2N: int32 [B, n] in [0, 2N)."""
+    p = keys.params
+    N = p.N
+    i = jnp.arange(N, dtype=jnp.int32)
+    idx2n = (i[None, :] - i[:, None]) & (2 * N - 1)  # [N(i), N(k)] -> (k-i)
+
+    def body(carry, xs):
+        a_col, kext_i = xs
+        return _external_cmux_ginx(carry, a_col, kext_i, idx2n, p), None
+
+    acc, _ = jax.lax.scan(body, acc, (a2N.T, keys.ginx_kext))
+    return acc
+
+
+def blind_rotate_ap_dev(
+    acc: jnp.ndarray, a2N: jnp.ndarray, keys: DeviceBootKeys
+) -> jnp.ndarray:
+    """AP/DM blind rotation: per (i, digit j), per-gate key row gathered by
+    digit value and applied as a batched external product.
+
+    Batched-GEMV shaped (per-gate matrices), so it is the parity/compat path;
+    GINX is the performance path (same split as OpenFHE's guidance).
+    """
+    p = keys.params
+    Q, N, d_g, B_g, B_r, d_r = p.Q, p.N, p.d_g, p.B_g, p.B_r, p.d_r
+    B = a2N.shape[0]
+    i = jnp.arange(N, dtype=jnp.int32)
+    idx2n = (i[None, :] - i[:, None]) & (2 * N - 1)
+
+    neg_a = (2 * N - a2N) & (2 * N - 1)  # rotate by -a_i * s_i total
+
+    def body(carry, xs):
+        na_col, ak_i = xs  # na_col [B]; ak_i [d_r, B_r, rows, out, L, 2N]
+        acc = carry
+        for j in range(d_r):
+            v = (na_col >> (j * int(np.log2(B_r)))) & (B_r - 1)  # [B]
+            k_sel = jnp.take(ak_i[j], v, axis=0)  # [B, rows, out, L, 2N]
+            digs = gadget_digits_dev(acc, B_g, d_g)
+            digs = jnp.transpose(digs, (0, 1, 3, 2)).reshape(B, 2 * d_g, N)
+            dense = k_sel[..., idx2n]  # [B, rows, out, L, N, N]
+            prod = jnp.einsum(
+                "bri,brolik->bokl", digs, dense, preferred_element_type=jnp.int32
+            )
+            acc = modmath.combine_limbs_mod_q(prod, Q)
+        return acc, None
+
+    acc, _ = jax.lax.scan(body, acc, (neg_a.T, keys.ap_kext))
+    return acc
+
+
+def sample_extract(acc: jnp.ndarray, Q: int) -> jnp.ndarray:
+    """RLWE [B, 2, N] -> LWE [B, N+1] mod Q (coefficient 0)."""
+    a = acc[:, 0]
+    rest = a[:, 1:][:, ::-1]
+    neg = jnp.where(rest == 0, 0, Q - rest)
+    a_ext = jnp.concatenate([a[:, :1], neg], axis=1)
+    return jnp.concatenate([a_ext, acc[:, 1, :1]], axis=1)
+
+
+def key_switch_dev(ct_N: jnp.ndarray, keys: DeviceBootKeys) -> jnp.ndarray:
+    """LWE [B, N+1] mod Q_ks -> [B, n+1] mod Q_ks via one int8 matmul."""
+    p = keys.params
+    Qks, N, n = p.Q_ks, p.N, p.n
+    B = ct_N.shape[0]
+    digs = signed_digits_dev(ct_N[:, :N], p.B_ks, p.d_ks)  # [B, N, d_ks]
+    digs = digs.reshape(B, N * p.d_ks)
+    prod = jnp.einsum(
+        "bk,kml->bml", digs, keys.ksk, preferred_element_type=jnp.int32
+    )  # [B, n+1, 2]
+    val = prod[..., 0] + (prod[..., 1] << 8)
+    out = -val
+    out = out.at[:, n].add(ct_N[:, N])
+    return out & (Qks - 1)
+
+
+def _mod_switch_pow2(x: jnp.ndarray, from_log2: int, to_log2: int) -> jnp.ndarray:
+    if to_log2 >= from_log2:
+        return (x << (to_log2 - from_log2)) & ((1 << to_log2) - 1)
+    sh = from_log2 - to_log2
+    return ((x + (1 << (sh - 1))) >> sh) & ((1 << to_log2) - 1)
+
+
+def bootstrap_batch(
+    prep: jnp.ndarray, gate_ids: jnp.ndarray, keys: DeviceBootKeys
+) -> jnp.ndarray:
+    """Bootstrap a batch of prepared LWE cts [B, n+1] mod q -> fresh cts.
+
+    ``prep`` is the gate linear combination (golden.gate_prepare);
+    ``gate_ids`` indexes GATE_ORDER and selects each gate's test vector.
+    """
+    p = keys.params
+    Q, N, q, Qks = p.Q, p.N, p.q, p.Q_ks
+    log_q = int(np.log2(q))
+    log_qks = int(np.log2(Qks))
+    # q -> 2N (exact: q <= 2N, power-of-two ratio)
+    ct2N = _mod_switch_pow2(prep, log_q, int(np.log2(2 * N)))
+    a2N, b2N = ct2N[:, :-1], ct2N[:, -1]
+    tv_sel = jnp.take(keys.tv_table, gate_ids, axis=0)  # [B, N]
+    acc = _acc_init(tv_sel, b2N, N, Q)
+    if keys.method == BinFHEMethod.GINX:
+        acc = blind_rotate_ginx_dev(acc, a2N, keys)
+    else:
+        acc = blind_rotate_ap_dev(acc, a2N, keys)
+    ct_N = sample_extract(acc, Q)
+    ct_N = ct_N.at[:, -1].set(
+        jax.lax.rem(ct_N[:, -1] + Q // 8, jnp.int32(Q))
+    )
+    ct_ks = modmath.mod_switch_from_q27(ct_N, log_qks, Q)
+    ct_n = key_switch_dev(ct_ks, keys)
+    return _mod_switch_pow2(ct_n, log_qks, log_q)
+
+
+def prepare_gates(
+    ct1: jnp.ndarray, ct2: jnp.ndarray, gate_ids: jnp.ndarray, q: int
+) -> jnp.ndarray:
+    """Per-gate linear combination w1*c1 + w2*c2 mod q (golden.gate_prepare)."""
+    w = jnp.take(jnp.asarray(PREP_WEIGHTS), gate_ids, axis=0)  # [B, 2]
+    y = w[:, :1] * ct1 + w[:, 1:] * ct2  # |y| <= 4q
+    return (y + 4 * q) & (q - 1)
+
+
+def eval_bin_gate_batch(
+    keys: DeviceBootKeys,
+    gate_ids: jnp.ndarray,
+    ct1: jnp.ndarray,
+    ct2: jnp.ndarray,
+) -> jnp.ndarray:
+    """Batched EvalBinGate (gate.cpp:133,171 parity): one bootstrap per gate,
+    all gates in the batch fused into one device program."""
+    prep = prepare_gates(ct1, ct2, gate_ids, keys.params.q)
+    return bootstrap_batch(prep, gate_ids, keys)

@@ -438,8 +438,8 @@ def blind_rotate_ap(
         ai = int(-a[i]) % (2 * N)  # rotate by -a_i * s_i in total
         for j in range(d_r):
             v = (ai // (B_r**j)) % B_r
-            if v == 0:
-                continue
+            # v == 0 multiplies by RGSW(1) — a no-op on the message but kept
+            # so the data-independent device scan (boot.py) matches bitwise.
             acc = external_product(params, acc, bk.ak[i, j, v])
     return acc
 

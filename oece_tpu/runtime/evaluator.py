@@ -1,0 +1,476 @@
+"""The circuit evaluator: reference ``Circuit`` API on a levelized engine.
+
+API parity (reference src/circuit.h:54-72): ``ReadFile``, ``Reset``,
+``SetInput``, ``Clock``, ``setPlaintext``, ``setEncrypted``, ``setVerify``,
+``dumpNetList``, ``dumpGates``, ``dumpGateCount``, plus ``GetOutput``.
+
+Engine redesign (TPU-first, SURVEY.md §7.6): the reference's event-driven
+wire/queue scheduler (_CircuitManager circuit.cpp:575-683) and per-gate OpenMP
+tasks (_ExecuteGates circuit.cpp:685-817) are replaced by a *static* ASAP
+level schedule (circuits/netlist.py): per level, all bootstrappable gates —
+across every test case in the batch — run as ONE fused device program
+(fhe/boot.py), and linear gates (NOT/EQW/const) run as vectorized arena ops.
+
+Modes (circuit.cpp:819-842 parity):
+  * plaintext : boolean arena only (the fast functional check).
+  * encrypted : LWE ciphertext arena, batched bootstraps.
+  * verify    : both; after each level, bootstrap outputs are decrypted,
+    compared against the plaintext arena, counted, and repaired — the
+    per-gate decrypt-compare-fix loop of gate.cpp:153-160 done per level.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..circuits import asm as asm_mod
+from ..circuits import bristol as bristol_mod
+from ..circuits.netlist import (
+    BOOTSTRAP_OPS,
+    LevelPlan,
+    Netlist,
+    Op,
+    levelize,
+)
+from ..fhe import boot, golden, lwe
+from ..fhe.params import BinFHEMethod, BinGate, get_params
+
+_OP_TO_GATE = {
+    Op.AND: BinGate.AND,
+    Op.OR: BinGate.OR,
+    Op.NAND: BinGate.NAND,
+    Op.NOR: BinGate.NOR,
+    Op.XOR: BinGate.XOR,
+    Op.XNOR: BinGate.XNOR,
+}
+
+# plaintext truth functions, vectorized
+_PLAIN_FN = {
+    int(Op.AND): lambda a, b: a & b,
+    int(Op.OR): lambda a, b: a | b,
+    int(Op.NAND): lambda a, b: 1 - (a & b),
+    int(Op.NOR): lambda a, b: 1 - (a | b),
+    int(Op.XOR): lambda a, b: a ^ b,
+    int(Op.XNOR): lambda a, b: 1 - (a ^ b),
+}
+
+
+def _round_up_pow2(x: int, lo: int = 32) -> int:
+    v = lo
+    while v < x:
+        v *= 2
+    return v
+
+
+class Circuit:
+    """Parity class for the reference's Circuit (circuit.h:54-116).
+
+    The constructor generates the crypto context and keys, mirroring
+    circuit.cpp:45-98 (GenerateBinFHEContext + KeyGen + BTKeyGen).  Pass
+    ``generate_keys=False`` for plaintext-only work to skip the expensive
+    BTKeyGen.
+    """
+
+    def __init__(
+        self,
+        set: str = "STD128_OPT",
+        method: str | BinFHEMethod = "GINX",
+        seed: Optional[int] = None,
+        generate_keys: bool = True,
+        xor_mode: str = "native",
+        verbose: bool = False,
+    ):
+        self.params = get_params(set) if isinstance(set, str) else set
+        self.method = (
+            method if isinstance(method, BinFHEMethod) else BinFHEMethod[str(method).upper()]
+        )
+        assert xor_mode in ("native", "compound")
+        # 'compound' reproduces the reference's 3-bootstrap XOR rewrite
+        # OR(AND(a,!b),AND(!a,b)) (gate.cpp:194-203); 'native' uses the
+        # 1-bootstrap 2(c1-c2) XOR.
+        self.xor_mode = xor_mode
+        self.verbose = verbose
+        if set == "TOY" or getattr(self.params, "name", "") in ("TOY", "MICRO"):
+            print(f"WARNING: {self.params.name} parameters have NO security")
+
+        self._rng = np.random.default_rng(seed)
+        self.sk: Optional[golden.LWESecretKey] = None
+        self.bk: Optional[golden.BootstrapKey] = None
+        self.dkeys: Optional[boot.DeviceBootKeys] = None
+        if generate_keys:
+            t0 = time.time()
+            self.sk = golden.lwe_keygen(self.params, self._rng)
+            self.bk = golden.bootstrap_keygen(self.params, self.sk, self._rng, self.method)
+            self.dkeys = boot.pack_bootstrap_key(self.bk)
+            if verbose:
+                print(f"# key generation: {time.time() - t0:.1f}s")
+
+        self.netlist: Optional[Netlist] = None
+        self.plan: Optional[LevelPlan] = None
+        self.plaintext_flag = True
+        self.encrypted_flag = False
+        self.verify_flag = False
+
+        self._plain_arena: Optional[np.ndarray] = None  # int8 [T, n_wires+1]
+        self._ct_arena = None  # jnp int32 [n_wires+1, T, n+1]
+        self._batch = 1
+        self.circuit_output: List[np.ndarray] = []
+        self.gate_counts: Dict[str, int] = {}
+        self.bad_gate_counts: Dict[str, int] = {}
+        self.manager_time = 0.0
+        self.exec_time = 0.0
+        self._done = False
+
+    # -- file loading (ReadFile parity, circuit.cpp:102-366) ----------------
+    def ReadFile(self, fname: str) -> None:
+        if fname.endswith(".out"):
+            self.netlist = asm_mod.parse_asm(fname)
+        else:
+            self.netlist = bristol_mod.parse_bristol(fname)
+        t0 = time.time()
+        self.plan = levelize(self.netlist)
+        if self.verbose:
+            s = self.plan.stats()
+            print(
+                f"# levelized {self.netlist.name}: depth {s['depth']}, "
+                f"{s['bootstrap_gates']} bootstrap gates, "
+                f"max width {s['max_level_width']} ({time.time() - t0:.2f}s)"
+            )
+        self.Reset()
+
+    def LoadNetlist(self, nl: Netlist) -> None:
+        """Direct IR entry (no file), e.g. from circuits.gen builders."""
+        self.netlist = nl
+        self.plan = levelize(nl)
+        self.Reset()
+
+    # -- mode setters (circuit.cpp:819-842 parity) --------------------------
+    def setPlaintext(self, flag: bool) -> None:
+        self.plaintext_flag = bool(flag)
+
+    def setEncrypted(self, flag: bool) -> None:
+        self.encrypted_flag = bool(flag)
+
+    def setVerify(self, flag: bool) -> None:
+        """verify forces both modes on (circuit.cpp:833-840)."""
+        self.verify_flag = bool(flag)
+        if flag:
+            self.plaintext_flag = True
+            self.encrypted_flag = True
+
+    # -- Reset (circuit.cpp:368-419 parity) ---------------------------------
+    def Reset(self) -> None:
+        self._plain_arena = None
+        self._ct_arena = None
+        self.circuit_output = []
+        self.gate_counts = {}
+        self.bad_gate_counts = {}
+        self.manager_time = 0.0
+        self.exec_time = 0.0
+        self._done = False
+
+    # -- SetInput (circuit.cpp:455-530 parity) ------------------------------
+    def SetInput(self, inputs: Sequence[np.ndarray], verbose: bool = False) -> None:
+        """inputs: one bit array per declared input word, each [bits] or
+        [T, bits] (T = test-case batch, a TPU extension)."""
+        assert self.netlist is not None, "ReadFile first"
+        nl = self.netlist
+        words = [np.atleast_2d(np.asarray(wd, dtype=np.int64)) for wd in inputs]
+        assert len(words) == len(nl.inputs), (
+            f"circuit declares {len(nl.inputs)} input words, got {len(words)}"
+        )
+        T = words[0].shape[0]
+        self._batch = T
+        n_slots = nl.n_wires + 1  # +1 dummy slot for padded gates
+        if self.plaintext_flag:
+            self._plain_arena = np.zeros((T, n_slots), dtype=np.int8)
+            for wd, wires in zip(words, nl.inputs):
+                assert wd.shape == (T, len(wires)), (wd.shape, len(wires))
+                self._plain_arena[:, wires] = wd
+        if self.encrypted_flag:
+            import jax.numpy as jnp
+
+            assert self.sk is not None, "no keys"
+            p = self.params
+            arena = np.zeros((n_slots, T, p.n + 1), dtype=np.int32)
+            for wd, wires in zip(words, nl.inputs):
+                cts = lwe.encrypt_bits(self.sk, wd.reshape(-1), self._rng)
+                arena[wires] = cts.reshape(T, len(wires), p.n + 1).transpose(1, 0, 2)
+            self._ct_arena = jnp.asarray(arena)
+
+    # -- the engine ---------------------------------------------------------
+    def Clock(self, verbose: bool = False) -> None:
+        """Evaluate the whole circuit (the reference's Clock loop,
+        circuit.cpp:532-573, with the level schedule replacing the queues)."""
+        assert self.plan is not None, "ReadFile first"
+        if self._done:
+            raise RuntimeError("Circuit already evaluated; call Reset (circuit.cpp:538-541)")
+        t_start = time.time()
+        for lv, level in enumerate(self.plan.levels):
+            t0 = time.time()
+            self._run_level(level)
+            self.exec_time += time.time() - t0
+            if (self.verbose or verbose) and self.plan.depth > 1:
+                print(
+                    f"\rProcessing level {lv + 1} of {self.plan.depth}",
+                    end="" if lv + 1 < self.plan.depth else "\n",
+                    flush=True,
+                )
+        self._collect_outputs()
+        total = time.time() - t_start
+        self.manager_time = total - self.exec_time
+        self._done = True
+        if self.verbose or verbose:
+            eff = 100.0 * self.exec_time / total if total > 0 else 0.0
+            print(f"### Total time {total * 1e3:.1f} msec, efficiency {eff:.1f}%")
+
+    def _run_level(self, level: dict) -> None:
+        self._run_level_boot(level)
+        self._run_level_linear(level)
+
+    def _run_level_boot(self, level: dict) -> None:
+        ops = level["boot_op"]
+        W = len(ops)
+        if W == 0:
+            return
+        in0, in1, outw = level["boot_in0"], level["boot_in1"], level["boot_out"]
+        # gate-count accounting (circuit.cpp:722-749 parity)
+        for o in ops:
+            name = Op(int(o)).name
+            self.gate_counts[name] = self.gate_counts.get(name, 0) + self._batch
+
+        if self.plaintext_flag:
+            pa = self._plain_arena
+            a = pa[:, in0].astype(np.int64)
+            b = pa[:, in1].astype(np.int64)
+            res = np.empty_like(a)
+            for o in np.unique(ops):
+                m = ops == o
+                res[:, m] = _PLAIN_FN[int(o)](a[:, m], b[:, m])
+            pa[:, outw] = res
+
+        if self.encrypted_flag:
+            self._run_level_boot_encrypted(ops, in0, in1, outw)
+
+    def _run_level_boot_encrypted(self, ops, in0, in1, outw) -> None:
+        import jax.numpy as jnp
+
+        T = self._batch
+        W = len(ops)
+        if self.xor_mode == "compound":
+            # reference parity: XOR/XNOR -> OR(AND(a,!b),AND(!a,b)) with 3
+            # bootstraps (gate.cpp:194-203).  Implemented as sub-levels.
+            xm = np.isin(ops, (int(Op.XOR), int(Op.XNOR)))
+            if np.any(xm):
+                self._run_compound_xor(ops[xm], in0[xm], in1[xm], outw[xm])
+                ops, in0, in1, outw = ops[~xm], in0[~xm], in1[~xm], outw[~xm]
+                W = len(ops)
+                if W == 0:
+                    return
+        gate_ids = np.array(
+            [boot.GATE_INDEX[_OP_TO_GATE[Op(int(o))]] for o in ops], dtype=np.int32
+        )
+        B = W * T
+        Bpad = _round_up_pow2(B)
+        arena = self._ct_arena
+        c1 = arena[in0].reshape(B, -1)
+        c2 = arena[in1].reshape(B, -1)
+        gids = jnp.asarray(np.repeat(gate_ids, T))
+        if Bpad != B:
+            pad = Bpad - B
+            c1 = jnp.concatenate([c1, jnp.zeros((pad, c1.shape[1]), c1.dtype)])
+            c2 = jnp.concatenate([c2, jnp.zeros((pad, c2.shape[1]), c2.dtype)])
+            gids = jnp.concatenate([gids, jnp.zeros((pad,), gids.dtype)])
+        out = _jit_gate_batch(self.dkeys, gids, c1, c2)[:B]
+        out = out.reshape(W, T, -1)
+
+        if self.verify_flag:
+            out = self._verify_fix(ops, outw, out)
+        self._ct_arena = arena.at[outw].set(out)
+
+    def _run_compound_xor(self, ops, in0, in1, outw) -> None:
+        """3-bootstrap XOR rewrite, vectorized: t1=AND(a,!b), t2=AND(!a,b),
+        out=OR(t1,t2); XNOR adds a final NOT (linear)."""
+        import jax.numpy as jnp
+
+        T = self._batch
+        arena = self._ct_arena
+        q = self.params.q
+        W = len(ops)
+        B = W * T
+        a = arena[in0].reshape(B, -1)
+        b = arena[in1].reshape(B, -1)
+        na = lwe.eval_not_batch(a, q)
+        nb = lwe.eval_not_batch(b, q)
+        and_id = boot.GATE_INDEX[BinGate.AND]
+        or_id = boot.GATE_INDEX[BinGate.OR]
+        both_c1 = jnp.concatenate([a, na])
+        both_c2 = jnp.concatenate([nb, b])
+        Bp = _round_up_pow2(2 * B)
+        gids = jnp.full((Bp,), and_id, dtype=jnp.int32)
+        if Bp != 2 * B:
+            both_c1 = jnp.concatenate(
+                [both_c1, jnp.zeros((Bp - 2 * B, both_c1.shape[1]), both_c1.dtype)]
+            )
+            both_c2 = jnp.concatenate(
+                [both_c2, jnp.zeros((Bp - 2 * B, both_c2.shape[1]), both_c2.dtype)]
+            )
+        ands = _jit_gate_batch(self.dkeys, gids, both_c1, both_c2)[: 2 * B]
+        t1, t2 = ands[:B], ands[B:]
+        Bp = _round_up_pow2(B)
+        gids = jnp.full((Bp,), or_id, dtype=jnp.int32)
+        if Bp != B:
+            t1 = jnp.concatenate([t1, jnp.zeros((Bp - B, t1.shape[1]), t1.dtype)])
+            t2 = jnp.concatenate([t2, jnp.zeros((Bp - B, t2.shape[1]), t2.dtype)])
+        out = _jit_gate_batch(self.dkeys, gids, t1, t2)[:B]
+        # XNOR: final linear NOT
+        xnor_m = np.repeat(ops == int(Op.XNOR), T)
+        if np.any(xnor_m):
+            out_not = lwe.eval_not_batch(out, q)
+            out = jnp.where(jnp.asarray(xnor_m)[:, None], out_not, out)
+        out = out.reshape(W, T, -1)
+        if self.verify_flag:
+            out = self._verify_fix(ops, outw, out)
+        self._ct_arena = arena.at[outw].set(out)
+        for o in ops:  # extra bootstrap accounting for the rewrite
+            self.gate_counts["XOR_BOOTSTRAPS"] = (
+                self.gate_counts.get("XOR_BOOTSTRAPS", 0) + 3 * self._batch
+            )
+
+    def _verify_fix(self, ops, outw, out):
+        """Per-level decrypt-compare-fix (gate.cpp:153-160 parity)."""
+        import jax.numpy as jnp
+
+        T = self._batch
+        W = len(ops)
+        got = lwe.decrypt_bits(self.sk, np.asarray(out).reshape(W * T, -1)).reshape(W, T)
+        want = self._plain_arena[:, outw].T.astype(np.int32)  # [W, T]
+        bad = got != want
+        if np.any(bad):
+            nbad = int(bad.sum())
+            for o in np.unique(ops):
+                name = Op(int(o)).name
+                cnt = int(bad[ops == o].sum()) if ops.ndim else nbad
+                self.bad_gate_counts[name] = self.bad_gate_counts.get(name, 0) + cnt
+                print(f"Bad {name} fixing")
+            fixed = lwe.encrypt_bits(self.sk, want.reshape(-1), self._rng).reshape(
+                W, T, -1
+            )
+            out = jnp.where(jnp.asarray(bad)[:, :, None], jnp.asarray(fixed), out)
+        return out
+
+    def _run_level_linear(self, level: dict) -> None:
+        ops, in0, outw = level["lin_op"], level["lin_in0"], level["lin_out"]
+        if len(ops) == 0:
+            return
+        q = self.params.q
+        for o in np.unique(ops):
+            name = Op(int(o)).name
+            cnt = int((ops == o).sum())
+            self.gate_counts[name] = self.gate_counts.get(name, 0) + cnt * self._batch
+        # linear chains may feed each other within the level (rank order is
+        # preserved by the levelizer), so apply sequential passes per rank by
+        # processing in stored order but with vectorized segments per op run.
+        if self.plaintext_flag:
+            pa = self._plain_arena
+            for o, i, w in zip(ops, in0, outw):
+                oo = int(o)
+                if oo == int(Op.NOT):
+                    pa[:, w] = 1 - pa[:, i]
+                elif oo == int(Op.EQW):
+                    pa[:, w] = pa[:, i]
+                elif oo == int(Op.EQ0):
+                    pa[:, w] = 0
+                else:
+                    pa[:, w] = 1
+        if self.encrypted_flag:
+            import jax.numpy as jnp
+
+            arena = self._ct_arena
+            # segment into runs of the same op that don't read their own
+            # outputs; rank ordering guarantees correctness of sequential runs
+            k = 0
+            G = len(ops)
+            while k < G:
+                o = int(ops[k])
+                j = k + 1
+                while j < G and int(ops[j]) == o:
+                    j += 1
+                idx_in = in0[k:j]
+                idx_out = outw[k:j]
+                if o == int(Op.NOT):
+                    vals = lwe.eval_not_batch(arena[idx_in], q)
+                elif o == int(Op.EQW):
+                    vals = arena[idx_in]
+                else:
+                    bit = 1 if o == int(Op.EQ1) else 0
+                    z = np.zeros((len(idx_in), self._batch, self.params.n + 1), np.int32)
+                    z[..., -1] = bit * (q // 4)
+                    vals = jnp.asarray(z)
+                arena = arena.at[idx_out].set(vals)
+                k = j
+            self._ct_arena = arena
+
+    # -- outputs ------------------------------------------------------------
+    def _collect_outputs(self) -> None:
+        nl = self.netlist
+        outs = []
+        if self.encrypted_flag:
+            for wires in nl.outputs:
+                cts = np.asarray(self._ct_arena[wires])  # [bits, T, n+1]
+                bits = lwe.decrypt_bits(
+                    self.sk, cts.reshape(-1, cts.shape[-1])
+                ).reshape(len(wires), self._batch)
+                outs.append(bits.T)  # [T, bits]
+                if self.verify_flag:
+                    want = self._plain_arena[:, wires]
+                    bad = int((bits.T != want).sum())
+                    if bad:
+                        self.bad_gate_counts["OUTPUT"] = (
+                            self.bad_gate_counts.get("OUTPUT", 0) + bad
+                        )
+                        print(f"Bad OUTPUT {bad}")
+        elif self.plaintext_flag:
+            for wires in nl.outputs:
+                outs.append(self._plain_arena[:, wires].astype(np.int32))
+        self.circuit_output = outs
+
+    def GetOutput(self) -> List[np.ndarray]:
+        """Output bit arrays, one [T, bits] per output word."""
+        return self.circuit_output
+
+    # -- dumps (circuit.cpp:844-873 parity) ---------------------------------
+    def dumpNetList(self) -> None:
+        nl = self.netlist
+        print(f"netlist {nl.name}: {nl.n_wires} wires, {nl.n_gates} gates")
+        print(f"  inputs : {nl.input_bits} bits")
+        print(f"  outputs: {nl.output_bits} bits")
+
+    def dumpGates(self) -> None:
+        nl = self.netlist
+        for k in range(nl.n_gates):
+            print(
+                f"  {Op(int(nl.op[k])).name} w{int(nl.in0[k])}, w{int(nl.in1[k])}"
+                f" -> w{int(nl.out[k])}"
+            )
+
+    def dumpGateCount(self) -> None:
+        for name, cnt in sorted(self.gate_counts.items()):
+            print(f"  {name}: {cnt}")
+        if self.bad_gate_counts:
+            print(f"  bad gates fixed: {self.bad_gate_counts}")
+
+
+@functools.lru_cache(maxsize=1)
+def _gate_batch_jit():
+    import jax
+
+    return jax.jit(boot.eval_bin_gate_batch)
+
+
+def _jit_gate_batch(dkeys, gids, c1, c2):
+    return _gate_batch_jit()(dkeys, gids, c1, c2)
