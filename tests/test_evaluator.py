@@ -1,0 +1,82 @@
+"""End-to-end encrypted circuit evaluation at MICRO parameters.
+
+Mirrors the reference harness flow (test_*.cpp): plaintext pass, then
+encrypted pass with verify, comparing outputs to the golden model —
+src/test_sha256.cpp:284-341 pattern, on the 2-bit adder circuit.
+"""
+
+import numpy as np
+import pytest
+
+from oece_tpu.circuits.asm import parse_asm
+from oece_tpu.runtime.evaluator import Circuit
+
+ADDER = "/root/reference/examples/simple_ckts/adder_2bit/adder_2bit.out"
+
+
+def bits(v, n):
+    v = np.atleast_1d(np.asarray(v, dtype=np.uint64))
+    return ((v[:, None] >> np.arange(n, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+
+
+def unbits(b):
+    b = np.asarray(b).astype(np.uint64)
+    return (b << np.arange(b.shape[1], dtype=np.uint64)).sum(1)
+
+
+@pytest.mark.parametrize("xor_mode", ["native", "compound"])
+def test_adder2bit_encrypted_micro(xor_mode):
+    c = Circuit(set="MICRO", method="GINX", seed=11, xor_mode=xor_mode)
+    c.LoadNetlist(parse_asm(ADDER))
+    cases = [(x, y) for x in range(4) for y in range(4)]
+    xa = bits(np.array([x for x, _ in cases]), 2)
+    xb = bits(np.array([y for _, y in cases]), 2)
+    want = np.array([x + y for x, y in cases], dtype=np.uint64)
+
+    # plaintext pass (test_sha256.cpp:284-289 pattern)
+    c.setPlaintext(True)
+    c.setEncrypted(False)
+    c.setVerify(False)
+    c.SetInput([xa, xb])
+    c.Clock()
+    assert np.array_equal(unbits(c.GetOutput()[0]), want)
+
+    # encrypted pass with verify (test_sha256.cpp:322-326 pattern)
+    c.Reset()
+    c.setPlaintext(False)
+    c.setEncrypted(True)
+    c.setVerify(True)  # forces plaintext back on
+    assert c.plaintext_flag and c.encrypted_flag
+    c.SetInput([xa, xb])
+    c.Clock()
+    assert np.array_equal(unbits(c.GetOutput()[0]), want)
+    # expected bootstrap counts: adder_2bit has 3 XOR, 3 AND, 1 OR
+    assert c.gate_counts["AND"] >= 3 * 16
+
+
+def test_encrypted_only_mode():
+    c = Circuit(set="MICRO", method="GINX", seed=12)
+    c.LoadNetlist(parse_asm(ADDER))
+    c.setPlaintext(False)
+    c.setEncrypted(True)
+    c.setVerify(False)
+    xa = bits(np.array([1, 3]), 2)
+    xb = bits(np.array([2, 3]), 2)
+    c.SetInput([xa, xb])
+    c.Clock()
+    assert np.array_equal(unbits(c.GetOutput()[0]), np.array([3, 6], dtype=np.uint64))
+
+
+def test_reset_required_after_clock():
+    c = Circuit(set="MICRO", generate_keys=False)
+    c.LoadNetlist(parse_asm(ADDER))
+    c.setPlaintext(True)
+    c.setEncrypted(False)
+    c.SetInput([bits(np.array([1]), 2), bits(np.array([1]), 2)])
+    c.Clock()
+    with pytest.raises(RuntimeError):
+        c.Clock()  # circuit.cpp:538-541 parity
+    c.Reset()
+    c.SetInput([bits(np.array([1]), 2), bits(np.array([1]), 2)])
+    c.Clock()
+    assert unbits(c.GetOutput()[0])[0] == 2
