@@ -195,18 +195,24 @@ def _acc_init(tv_sel: jnp.ndarray, b2N: jnp.ndarray, N: int, Q: int) -> jnp.ndar
     return jnp.stack([jnp.zeros_like(rot), rot], axis=1)
 
 
-def _external_cmux_ginx(acc, a_col, kext_i, idx2n, p: BinFHEParams):
+def _external_cmux_ginx(acc, a_col, kext_i, idx2n, p: BinFHEParams, tp_axis=None):
     """One GINX step: parallel CMUX pair against RGSW(s+_i), RGSW(s-_i).
 
     acc    : int32 [B, 2, N] in [0, Q)
     a_col  : int32 [B] = a~_i per gate, in [0, 2N)
-    kext_i : int8 [parts=2, rows, out=2, L, 2N]
+    kext_i : int8 [parts=2, rows, out=2, L, 2N]; under tensor parallelism
+             (tp_axis set) this is the local shard of the ``rows`` axis and
+             the partial products are psum-reduced over ``tp_axis``.
     idx2n  : int32 [N, N] constant gather index (k - i) mod 2N
     """
     Q, N, d_g, B_g = p.Q, p.N, p.d_g, p.B_g
     B = acc.shape[0]
     digs = gadget_digits_dev(acc, B_g, d_g)  # [B, 2, N, d_g]
     digs = jnp.transpose(digs, (0, 1, 3, 2)).reshape(B, 2 * d_g, N)
+    if tp_axis is not None:
+        rows_local = kext_i.shape[1]
+        r0 = jax.lax.axis_index(tp_axis) * rows_local
+        digs = jax.lax.dynamic_slice_in_dim(digs, r0, rows_local, axis=1)
     dense = kext_i[..., idx2n]  # [parts, rows, out, L, N, N] int8
     prod = jnp.einsum(
         "bri,prolik->bpokl",
@@ -214,6 +220,8 @@ def _external_cmux_ginx(acc, a_col, kext_i, idx2n, p: BinFHEParams):
         dense,
         preferred_element_type=jnp.int32,
     )  # [B, parts, out, N, L]
+    if tp_axis is not None:
+        prod = jax.lax.psum(prod, tp_axis)
     P = modmath.combine_limbs_mod_q(prod, Q)  # [B, parts, 2, N]
     c_pos = (2 * N - a_col) & (2 * N - 1)
     rot_pos = monomial_rotate(P[:, 0], c_pos, N, Q)
@@ -223,7 +231,7 @@ def _external_cmux_ginx(acc, a_col, kext_i, idx2n, p: BinFHEParams):
 
 
 def blind_rotate_ginx_dev(
-    acc: jnp.ndarray, a2N: jnp.ndarray, keys: DeviceBootKeys
+    acc: jnp.ndarray, a2N: jnp.ndarray, keys: DeviceBootKeys, tp_axis=None
 ) -> jnp.ndarray:
     """Scan the n CMUX steps.  a2N: int32 [B, n] in [0, 2N)."""
     p = keys.params
@@ -233,7 +241,7 @@ def blind_rotate_ginx_dev(
 
     def body(carry, xs):
         a_col, kext_i = xs
-        return _external_cmux_ginx(carry, a_col, kext_i, idx2n, p), None
+        return _external_cmux_ginx(carry, a_col, kext_i, idx2n, p, tp_axis), None
 
     acc, _ = jax.lax.scan(body, acc, (a2N.T, keys.ginx_kext))
     return acc
@@ -284,16 +292,25 @@ def sample_extract(acc: jnp.ndarray, Q: int) -> jnp.ndarray:
     return jnp.concatenate([a_ext, acc[:, 1, :1]], axis=1)
 
 
-def key_switch_dev(ct_N: jnp.ndarray, keys: DeviceBootKeys) -> jnp.ndarray:
-    """LWE [B, N+1] mod Q_ks -> [B, n+1] mod Q_ks via one int8 matmul."""
+def key_switch_dev(ct_N: jnp.ndarray, keys: DeviceBootKeys, tp_axis=None) -> jnp.ndarray:
+    """LWE [B, N+1] mod Q_ks -> [B, n+1] mod Q_ks via one int8 matmul.
+
+    Under tensor parallelism keys.ksk is a shard of the contraction axis
+    (N*d_ks) and the partial sums are psum-reduced over tp_axis."""
     p = keys.params
     Qks, N, n = p.Q_ks, p.N, p.n
     B = ct_N.shape[0]
     digs = signed_digits_dev(ct_N[:, :N], p.B_ks, p.d_ks)  # [B, N, d_ks]
     digs = digs.reshape(B, N * p.d_ks)
+    if tp_axis is not None:
+        k_local = keys.ksk.shape[0]
+        k0 = jax.lax.axis_index(tp_axis) * k_local
+        digs = jax.lax.dynamic_slice_in_dim(digs, k0, k_local, axis=1)
     prod = jnp.einsum(
         "bk,kml->bml", digs, keys.ksk, preferred_element_type=jnp.int32
     )  # [B, n+1, 2]
+    if tp_axis is not None:
+        prod = jax.lax.psum(prod, tp_axis)
     val = prod[..., 0] + (prod[..., 1] << 8)
     out = -val
     out = out.at[:, n].add(ct_N[:, N])
@@ -308,7 +325,7 @@ def _mod_switch_pow2(x: jnp.ndarray, from_log2: int, to_log2: int) -> jnp.ndarra
 
 
 def bootstrap_batch(
-    prep: jnp.ndarray, gate_ids: jnp.ndarray, keys: DeviceBootKeys
+    prep: jnp.ndarray, gate_ids: jnp.ndarray, keys: DeviceBootKeys, tp_axis=None
 ) -> jnp.ndarray:
     """Bootstrap a batch of prepared LWE cts [B, n+1] mod q -> fresh cts.
 
@@ -325,15 +342,16 @@ def bootstrap_batch(
     tv_sel = jnp.take(keys.tv_table, gate_ids, axis=0)  # [B, N]
     acc = _acc_init(tv_sel, b2N, N, Q)
     if keys.method == BinFHEMethod.GINX:
-        acc = blind_rotate_ginx_dev(acc, a2N, keys)
+        acc = blind_rotate_ginx_dev(acc, a2N, keys, tp_axis)
     else:
+        assert tp_axis is None, "AP method supports data parallelism only"
         acc = blind_rotate_ap_dev(acc, a2N, keys)
     ct_N = sample_extract(acc, Q)
     ct_N = ct_N.at[:, -1].set(
         jax.lax.rem(ct_N[:, -1] + Q // 8, jnp.int32(Q))
     )
     ct_ks = modmath.mod_switch_from_q27(ct_N, log_qks, Q)
-    ct_n = key_switch_dev(ct_ks, keys)
+    ct_n = key_switch_dev(ct_ks, keys, tp_axis)
     return _mod_switch_pow2(ct_n, log_qks, log_q)
 
 
@@ -351,8 +369,9 @@ def eval_bin_gate_batch(
     gate_ids: jnp.ndarray,
     ct1: jnp.ndarray,
     ct2: jnp.ndarray,
+    tp_axis=None,
 ) -> jnp.ndarray:
     """Batched EvalBinGate (gate.cpp:133,171 parity): one bootstrap per gate,
     all gates in the batch fused into one device program."""
     prep = prepare_gates(ct1, ct2, gate_ids, keys.params.q)
-    return bootstrap_batch(prep, gate_ids, keys)
+    return bootstrap_batch(prep, gate_ids, keys, tp_axis)

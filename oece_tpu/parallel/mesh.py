@@ -1,0 +1,110 @@
+"""Device-mesh parallelism for batched gate bootstrapping.
+
+The reference's only parallelism is intra-level OpenMP gate tasks
+(circuit.cpp:698-710); there is no distributed backend (SURVEY.md §2.7).
+Here the same independence structure maps onto a JAX device mesh:
+
+  * ``dp`` (data parallel): the gate batch of a level is sharded across
+    devices — bootstraps are embarrassingly parallel, keys replicated.
+  * ``tp`` (tensor parallel): the blind-rotation contraction (rows axis of
+    the RGSW key matmul) and the key-switch contraction are sharded, with a
+    per-step ``psum`` over the tp axis riding ICI.
+
+Implemented with ``shard_map`` so the collectives are explicit; the same
+code runs on a virtual 8-device CPU mesh (tests, driver dryrun) and on real
+multi-chip slices.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..fhe import boot
+from ..fhe.params import BinFHEMethod
+
+try:  # JAX >= 0.6
+    from jax.experimental.shard_map import shard_map
+except ImportError:  # pragma: no cover
+    from jax.shard_map import shard_map
+
+
+def make_mesh(n_devices: Optional[int] = None, tp: int = 1) -> Mesh:
+    """Build a (dp, tp) mesh over the first n_devices devices."""
+    devs = jax.devices()[: n_devices or len(jax.devices())]
+    n = len(devs)
+    assert n % tp == 0, (n, tp)
+    arr = np.array(devs).reshape(n // tp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def shard_bootstrap_keys(keys: boot.DeviceBootKeys, mesh: Mesh) -> boot.DeviceBootKeys:
+    """Place keys on the mesh: rows/contraction axes sharded over tp,
+    replicated over dp."""
+    assert keys.method == BinFHEMethod.GINX, "tp sharding targets GINX"
+    from jax.sharding import NamedSharding
+
+    kext = jax.device_put(
+        keys.ginx_kext, NamedSharding(mesh, P(None, None, "tp", None, None, None))
+    )
+    ksk = jax.device_put(keys.ksk, NamedSharding(mesh, P("tp", None, None)))
+    tv = jax.device_put(keys.tv_table, NamedSharding(mesh, P()))
+    return boot.DeviceBootKeys(
+        params=keys.params, method=keys.method, ginx_kext=kext,
+        ap_kext=None, ksk=ksk, tv_table=tv,
+    )
+
+
+def make_sharded_gate_fn(keys: boot.DeviceBootKeys, mesh: Mesh):
+    """Return a jitted fn(gids, c1, c2) evaluating gates dp×tp-sharded.
+
+    The batch must be divisible by the dp size.  Keys should already be
+    placed with shard_bootstrap_keys (the shard_map in_specs slice them
+    logically either way).
+    """
+    p = keys.params
+    method = keys.method
+
+    def local_fn(kext, ksk, tv, gids, c1, c2):
+        lkeys = boot.DeviceBootKeys(
+            params=p, method=method, ginx_kext=kext, ap_kext=None,
+            ksk=ksk, tv_table=tv,
+        )
+        return boot.eval_bin_gate_batch(lkeys, gids, c1, c2, tp_axis="tp")
+
+    smapped = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(None, None, "tp", None, None, None),  # kext rows axis
+            P("tp", None, None),  # ksk contraction axis
+            P(),  # tv replicated
+            P("dp"),
+            P("dp", None),
+            P("dp", None),
+        ),
+        out_specs=P("dp", None),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def fn(gids, c1, c2):
+        return smapped(keys.ginx_kext, keys.ksk, keys.tv_table, gids, c1, c2)
+
+    return fn
+
+
+def eval_bin_gate_sharded(
+    keys: boot.DeviceBootKeys,
+    gids: jnp.ndarray,
+    c1: jnp.ndarray,
+    c2: jnp.ndarray,
+    mesh: Mesh,
+):
+    """One-shot convenience wrapper (builds the sharded fn each call)."""
+    return make_sharded_gate_fn(keys, mesh)(gids, c1, c2)
