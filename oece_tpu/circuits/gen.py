@@ -1,0 +1,337 @@
+"""Circuit generator DSL: build Bristol-style netlists programmatically.
+
+The reference ships only pre-made circuit data files (examples/, SURVEY.md
+§2.9).  This module makes the framework self-contained: adders, comparators,
+multipliers, parity chains, and the MD5/SHA-256 compression functions can be
+*generated*, so every harness family runs even without the reference corpus,
+and users can synthesize new circuits for their own functions.
+
+The builder produces the same integer Netlist IR as the parsers, so
+generated circuits levelize, evaluate, assemble to ``.out``, and round-trip
+through the Bristol emitters identically to parsed ones.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+from .netlist import Netlist, Op
+
+
+class Builder:
+    """Tiny gate-level HDL.  Wires are ints; inputs declared first."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self.n_wires = 0
+        self.inputs: List[np.ndarray] = []
+        self.ops: List[int] = []
+        self.in0: List[int] = []
+        self.in1: List[int] = []
+        self.outw: List[int] = []
+        self._outputs: List[np.ndarray] = []
+
+    # -- wires ----------------------------------------------------------
+    def _new(self) -> int:
+        self.n_wires += 1
+        return self.n_wires - 1
+
+    def input_word(self, bits: int) -> List[int]:
+        w = [self._new() for _ in range(bits)]
+        self.inputs.append(np.array(w, dtype=np.int32))
+        return w
+
+    def output_word(self, wires: Sequence[int]) -> None:
+        self._outputs.append(np.array(list(wires), dtype=np.int32))
+
+    # -- gates ----------------------------------------------------------
+    def _gate(self, op: Op, a: int, b: int | None = None) -> int:
+        w = self._new()
+        self.ops.append(int(op))
+        self.in0.append(a)
+        self.in1.append(b if b is not None else a)
+        self.outw.append(w)
+        return w
+
+    def AND(self, a, b):
+        return self._gate(Op.AND, a, b)
+
+    def OR(self, a, b):
+        return self._gate(Op.OR, a, b)
+
+    def XOR(self, a, b):
+        return self._gate(Op.XOR, a, b)
+
+    def NOT(self, a):
+        return self._gate(Op.NOT, a)
+
+    def NAND(self, a, b):
+        return self._gate(Op.NAND, a, b)
+
+    def const(self, bit: int) -> int:
+        return self._gate(Op.EQ1 if bit else Op.EQ0, 0)
+
+    def MUX(self, sel, a, b):
+        """sel ? b : a  (2 AND + 1 OR + 1 NOT)."""
+        return self.OR(self.AND(self.NOT(sel), a), self.AND(sel, b))
+
+    # -- word helpers ----------------------------------------------------
+    def xor_word(self, A, B):
+        return [self.XOR(a, b) for a, b in zip(A, B)]
+
+    def and_word(self, A, B):
+        return [self.AND(a, b) for a, b in zip(A, B)]
+
+    def not_word(self, A):
+        return [self.NOT(a) for a in A]
+
+    def add_word(self, A, B, cin: int | None = None) -> tuple:
+        """Ripple-carry adder; returns (sum bits, carry-out)."""
+        S = []
+        c = cin
+        for a, b in zip(A, B):
+            axb = self.XOR(a, b)
+            if c is None:
+                S.append(axb)
+                c = self.AND(a, b)
+            else:
+                S.append(self.XOR(axb, c))
+                c = self.OR(self.AND(a, b), self.AND(axb, c))
+        return S, c
+
+    def rotr_word(self, A, r: int):
+        n = len(A)
+        return [A[(i + r) % n] for i in range(n)]
+
+    def shr_word(self, A, r: int, zero: int):
+        n = len(A)
+        return [A[i + r] if i + r < n else zero for i in range(n)]
+
+    def build(self) -> Netlist:
+        nl = Netlist(
+            name=self.name,
+            n_wires=self.n_wires,
+            inputs=self.inputs,
+            outputs=self._outputs,
+            op=np.array(self.ops, dtype=np.int32),
+            in0=np.array(self.in0, dtype=np.int32),
+            in1=np.array(self.in1, dtype=np.int32),
+            out=np.array(self.outw, dtype=np.int32),
+        )
+        return nl
+
+
+# ---------------------------------------------------------------------------
+# Generators (LSB-first words, matching harness/testlib conventions)
+# ---------------------------------------------------------------------------
+
+
+def gen_adder(width: int) -> Netlist:
+    b = Builder(f"gen_adder_{width}")
+    A = b.input_word(width)
+    B = b.input_word(width)
+    S, c = b.add_word(A, B)
+    b.output_word(S + [c])
+    return b.build()
+
+
+def gen_comparator(width: int, signed: bool = False, or_equal: bool = False) -> Netlist:
+    """out = A < B (or <=); signed compares flip the MSB."""
+    b = Builder(f"gen_cmp_{width}{'s' if signed else 'u'}{'e' if or_equal else ''}")
+    A = b.input_word(width)
+    B = b.input_word(width)
+    if signed:
+        A = A[:-1] + [b.NOT(A[-1])]
+        B = B[:-1] + [b.NOT(B[-1])]
+    # iterative from LSB: lt = (~a & b) | (eq_bit & lt_prev) ... compute via
+    # standard MSB-down recursion done LSB-up with carry:
+    lt = b.const(1 if or_equal else 0)  # empty-prefix value
+    for a, bb in zip(A, B):
+        eq = b.NOT(b.XOR(a, bb))
+        a_lt_b = b.AND(b.NOT(a), bb)
+        lt = b.OR(a_lt_b, b.AND(eq, lt))
+    b.output_word([lt])
+    return b.build()
+
+
+def gen_multiplier(width: int) -> Netlist:
+    """width x width -> 2*width shift-add multiplier."""
+    b = Builder(f"gen_mult_{width}")
+    A = b.input_word(width)
+    B = b.input_word(width)
+    zero = b.const(0)
+    acc = [zero] * (2 * width)
+    for j, bj in enumerate(B):
+        partial = [b.AND(a, bj) for a in A]
+        seg = acc[j : j + width]
+        S, c = b.add_word(seg, partial)
+        acc[j : j + width] = S
+        # propagate carry into the remaining high bits
+        k = j + width
+        while k < 2 * width:
+            s = b.XOR(acc[k], c)
+            c = b.AND(acc[k], c)
+            acc[k] = s
+            k += 1
+    b.output_word(acc)
+    return b.build()
+
+
+def gen_parity(width: int = 8) -> Netlist:
+    """Parity generator/checker with cascade input (parity.out parity:
+    Out0 = even indicator, Out1 = odd indicator over width+1 inputs)."""
+    b = Builder(f"gen_parity_{width}")
+    A = b.input_word(width + 1)
+    x = A[0]
+    for a in A[1:]:
+        x = b.XOR(x, a)
+    odd = x
+    even = b.NOT(x)
+    b.output_word([even, odd])
+    return b.build()
+
+
+def _word32(b: Builder, value: int) -> List[int]:
+    zero = b.const(0)
+    one = b.const(1)
+    return [one if (value >> i) & 1 else zero for i in range(32)]
+
+
+def gen_sha256_compress() -> Netlist:
+    """SHA-256 compression: inputs (512-bit block, 256-bit state), output
+    256-bit new state — same interface as new_bristol_ckts/crypto/sha256.txt.
+
+    Word convention: the 512-bit input is 16 big-endian words; with the
+    harness's bits_c mapping the j-th word's bits live at positions
+    [512 - 32*(j+1), 512 - 32*j), LSB-first.
+    """
+    b = Builder("gen_sha256")
+    M = b.input_word(512)
+    H = b.input_word(256)
+    nw = 16
+
+    def word(flat, j, total):
+        lo = total - 32 * (j + 1)
+        return flat[lo : lo + 32]
+
+    w = [word(M, j, 512) for j in range(nw)]
+    zero = b.const(0)
+    for i in range(16, 64):
+        w15, w2 = w[i - 15], w[i - 2]
+        s0 = [
+            b.XOR(b.XOR(x, y), z)
+            for x, y, z in zip(
+                b.rotr_word(w15, 7), b.rotr_word(w15, 18), b.shr_word(w15, 3, zero)
+            )
+        ]
+        s1 = [
+            b.XOR(b.XOR(x, y), z)
+            for x, y, z in zip(
+                b.rotr_word(w2, 17), b.rotr_word(w2, 19), b.shr_word(w2, 10, zero)
+            )
+        ]
+        t, _ = b.add_word(w[i - 16], s0)
+        t, _ = b.add_word(t, w[i - 7])
+        t, _ = b.add_word(t, s1)
+        w.append(t)
+
+    hs = [word(H, j, 256) for j in range(8)]
+    a, bb, c, d, e, f, g, h = hs
+    from ..harness.models import _SHA_K
+
+    for i in range(64):
+        S1 = [
+            b.XOR(b.XOR(x, y), z)
+            for x, y, z in zip(b.rotr_word(e, 6), b.rotr_word(e, 11), b.rotr_word(e, 25))
+        ]
+        ch = [b.XOR(b.AND(ee, ff), b.AND(b.NOT(ee), gg)) for ee, ff, gg in zip(e, f, g)]
+        t1, _ = b.add_word(h, S1)
+        t1, _ = b.add_word(t1, ch)
+        t1, _ = b.add_word(t1, _word32(b, _SHA_K[i]))
+        t1, _ = b.add_word(t1, w[i])
+        S0 = [
+            b.XOR(b.XOR(x, y), z)
+            for x, y, z in zip(b.rotr_word(a, 2), b.rotr_word(a, 13), b.rotr_word(a, 22))
+        ]
+        maj = [
+            b.XOR(b.XOR(b.AND(x, y), b.AND(x, z)), b.AND(y, z))
+            for x, y, z in zip(a, bb, c)
+        ]
+        t2, _ = b.add_word(S0, maj)
+        h, g, f = g, f, e
+        e, _ = b.add_word(d, t1)
+        d, c, bb = c, bb, a
+        a, _ = b.add_word(t1, t2)
+
+    outs = []
+    for old, new in zip(hs, [a, bb, c, d, e, f, g, h]):
+        s, _ = b.add_word(old, new)
+        outs.append(s)
+    flat = []
+    for j in range(7, -1, -1):  # big-endian word order, matching bits_c
+        flat += outs[j]
+    b.output_word(flat)
+    return b.build()
+
+
+def gen_md5_compress() -> Netlist:
+    """MD5 compression: 512-bit block -> 128-bit digest (fixed IV), same
+    interface as old_bristol_ckts/crypto/md5.txt (bits_d convention: the
+    j-th little-endian word's bits are at [32j, 32j+32) reversed per byte).
+
+    For simplicity this generator uses the *harness bit order directly*:
+    inputs/outputs use the bits_d mapping of the byte strings.
+    """
+    b = Builder("gen_md5")
+    M = b.input_word(512)
+
+    def le_word(flat, j):
+        # bytes 4j..4j+3 little-endian; bits_d gives MSB-first per byte
+        bits = []
+        for byte in range(4):
+            seg = flat[8 * (4 * j + byte) : 8 * (4 * j + byte) + 8]
+            bits = bits + seg[::-1]  # LSB-first within byte
+        return bits  # LSB-first 32-bit word (little-endian bytes)
+
+    w = [le_word(M, j) for j in range(16)]
+    from ..harness.models import _MD5_K, _MD5_S, _MD5_IV
+
+    def rotl(word, r):
+        n = len(word)
+        return [word[(i - r) % n] for i in range(n)]
+
+    A0, B0, C0, D0 = [_word32(b, v) for v in _MD5_IV]
+    a, bb, c, d = A0, B0, C0, D0
+    for i in range(64):
+        if i < 16:
+            F = [b.OR(b.AND(x, y), b.AND(b.NOT(x), z)) for x, y, z in zip(bb, c, d)]
+            g = i
+        elif i < 32:
+            F = [b.OR(b.AND(z, x), b.AND(b.NOT(z), y)) for x, y, z in zip(bb, c, d)]
+            g = (5 * i + 1) % 16
+        elif i < 48:
+            F = [b.XOR(b.XOR(x, y), z) for x, y, z in zip(bb, c, d)]
+            g = (3 * i + 5) % 16
+        else:
+            F = [b.XOR(y, b.OR(x, b.NOT(z))) for x, y, z in zip(bb, c, d)]
+            g = (7 * i) % 16
+        t, _ = b.add_word(F, a)
+        t, _ = b.add_word(t, _word32(b, _MD5_K[i]))
+        t, _ = b.add_word(t, w[g])
+        t = rotl(t, _MD5_S[i])
+        nb, _ = b.add_word(bb, t)
+        a, d, c, bb = d, c, bb, nb
+
+    outs = []
+    for init, fin in zip((A0, B0, C0, D0), (a, bb, c, d)):
+        s, _ = b.add_word(init, fin)
+        outs.append(s)
+    # output in bits_d order of the little-endian byte string
+    flat = []
+    for word in outs:
+        for byte in range(4):
+            flat += word[8 * byte : 8 * byte + 8][::-1]
+    b.output_word(flat)
+    return b.build()
