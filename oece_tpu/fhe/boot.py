@@ -35,7 +35,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import golden, modmath
+from . import pallas_kernels as pk
 from .params import BinFHEParams, BinFHEMethod, BinGate, Q27
+
+# Largest per-kernel-call batch (VMEM bound); bigger batches are chunked.
+PALLAS_MAX_B = 256
 
 # Fixed gate enumeration for per-gate test-vector / prep-weight tables.
 GATE_ORDER = [
@@ -66,6 +70,9 @@ class DeviceBootKeys:
     ginx_kext : int8 [n, parts=2, rows=2*d_g, out=2, L, 2N]
                 limb decomposition of each RGSW key polynomial followed by the
                 limbs of its negation mod Q (for the negacyclic wrap).
+                (jnp gather path; None when packed for the Pallas kernel)
+    ginx_pallas : int32 [n, 2*nt-1, 4, R*M, SPANW] per-step diagonal key
+                windows for the Pallas negacyclic kernel (TPU path)
     ap_kext   : int8 [n, d_r, B_r, rows, out, L, 2N] (AP method only)
     ksk       : int8 [N*d_ks, n+1, 2]  centered base-256 limbs mod Q_ks
     tv_table  : int32 [len(GATE_ORDER), N] test vectors mod Q
@@ -77,18 +84,22 @@ class DeviceBootKeys:
     ap_kext: Optional[jnp.ndarray]
     ksk: jnp.ndarray
     tv_table: jnp.ndarray
+    ginx_pallas: Optional[jnp.ndarray] = None
 
 
 def _dbk_flatten(k: DeviceBootKeys):
-    return (k.ginx_kext, k.ap_kext, k.ksk, k.tv_table), (k.params, k.method)
+    return (
+        (k.ginx_kext, k.ap_kext, k.ksk, k.tv_table, k.ginx_pallas),
+        (k.params, k.method),
+    )
 
 
 def _dbk_unflatten(aux, children):
     params, method = aux
-    ginx_kext, ap_kext, ksk, tv_table = children
+    ginx_kext, ap_kext, ksk, tv_table, ginx_pallas = children
     return DeviceBootKeys(
         params=params, method=method, ginx_kext=ginx_kext, ap_kext=ap_kext,
-        ksk=ksk, tv_table=tv_table,
+        ksk=ksk, tv_table=tv_table, ginx_pallas=ginx_pallas,
     )
 
 
@@ -108,14 +119,34 @@ def _poly_ext_limbs(polys: np.ndarray, Q: int) -> np.ndarray:
     return np.moveaxis(limbs, -1, -2)  # [..., L, 2N]
 
 
-def pack_bootstrap_key(bk: golden.BootstrapKey) -> DeviceBootKeys:
+def pack_bootstrap_key(
+    bk: golden.BootstrapKey, use_pallas: Optional[bool] = None
+) -> DeviceBootKeys:
+    """Pack keys for the device.  use_pallas defaults to True on TPU (the
+    barrel-shift MXU kernel) and False elsewhere (jnp gather path)."""
     p = bk.params
     Q = p.Q
-    ginx_kext = ap_kext = None
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",) and p.N % pk.TILE == 0
+    ginx_kext = ap_kext = ginx_pallas = None
     if bk.method == BinFHEMethod.GINX:
         # [n, parts, rows, out, N]
         brk = np.stack([bk.brk_pos, bk.brk_neg], axis=1)
-        ginx_kext = jnp.asarray(_poly_ext_limbs(brk, Q))
+        kext_np = _poly_ext_limbs(brk, Q)  # [n, parts, rows, out, L, 2N]
+        if use_pallas:
+            # kernel row order: r-major with m = (part, out, limb)
+            n = kext_np.shape[0]
+            R = kext_np.shape[2]
+            M = kext_np.shape[1] * kext_np.shape[3] * kext_np.shape[4]
+            perm = np.transpose(kext_np, (0, 2, 1, 3, 4, 5)).reshape(
+                n, R * M, 2 * p.N
+            )
+            wins = np.stack(
+                [pk.pack_keys_for_pallas(perm[i]) for i in range(n)]
+            )
+            ginx_pallas = jnp.asarray(wins)
+        else:
+            ginx_kext = jnp.asarray(kext_np)
     else:
         ap_kext = jnp.asarray(_poly_ext_limbs(bk.ak, Q))
 
@@ -135,9 +166,10 @@ def pack_bootstrap_key(bk: golden.BootstrapKey) -> DeviceBootKeys:
         params=p,
         method=bk.method,
         ginx_kext=ginx_kext,
-        ap_kext=jnp.asarray(ap_kext) if ap_kext is not None else None,
+        ap_kext=ap_kext,
         ksk=jnp.asarray(ksk_limbs),
         tv_table=jnp.asarray(tv, dtype=jnp.int32),
+        ginx_pallas=ginx_pallas,
     )
 
 
@@ -195,6 +227,39 @@ def _acc_init(tv_sel: jnp.ndarray, b2N: jnp.ndarray, N: int, Q: int) -> jnp.ndar
     return jnp.stack([jnp.zeros_like(rot), rot], axis=1)
 
 
+def _digits_rbn(acc, p: BinFHEParams):
+    """acc [B, 2, N] -> gadget digits [R=2*d_g, B, N] int8, r = (poly, dig)."""
+    digs = gadget_digits_dev(acc, p.B_g, p.d_g)  # [B, 2, N, d_g]
+    return jnp.transpose(digs, (1, 3, 0, 2)).reshape(2 * p.d_g, acc.shape[0], p.N)
+
+
+def _external_cmux_pallas(acc, a_col, kwin_i, p: BinFHEParams):
+    """Pallas-kernel version of one GINX step (TPU hot path).
+
+    kwin_i : int32 [2*nt-1, 4, R*M, SPANW] packed key windows for this step.
+    """
+    Q, N = p.Q, p.N
+    B = acc.shape[0]
+    digs = _digits_rbn(acc, p)  # [R, B, N]
+    dt = pk.pack_digits_for_pallas(digs)  # [nt, B, R*128]
+    chunks = []
+    step = min(PALLAS_MAX_B, B)
+    for c0 in range(0, B, step):
+        chunks.append(
+            pk.negacyclic_matmul_pallas(dt[:, c0 : c0 + step], kwin_i, 2 * p.d_g)
+        )
+    prod = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
+    # [B, M, N] with m = (part, out, limb)
+    prod = prod.reshape(B, 2, 2, modmath.N_LIMBS, N)
+    prod = jnp.transpose(prod, (0, 1, 2, 4, 3))  # [B, parts, out, N, L]
+    P = modmath.combine_limbs_mod_q(prod, Q)
+    c_pos = (2 * N - a_col) & (2 * N - 1)
+    rot_pos = monomial_rotate(P[:, 0], c_pos, N, Q)
+    rot_neg = monomial_rotate(P[:, 1], a_col, N, Q)
+    y = acc + rot_pos + rot_neg + (2 * Q - P[:, 0] - P[:, 1])
+    return modmath.red31(y, Q)
+
+
 def _external_cmux_ginx(acc, a_col, kext_i, idx2n, p: BinFHEParams, tp_axis=None):
     """One GINX step: parallel CMUX pair against RGSW(s+_i), RGSW(s-_i).
 
@@ -236,6 +301,16 @@ def blind_rotate_ginx_dev(
     """Scan the n CMUX steps.  a2N: int32 [B, n] in [0, 2N)."""
     p = keys.params
     N = p.N
+    if keys.ginx_pallas is not None:
+        assert tp_axis is None, "tensor parallelism uses the jnp key layout"
+
+        def body_pallas(carry, xs):
+            a_col, kwin_i = xs
+            return _external_cmux_pallas(carry, a_col, kwin_i, p), None
+
+        acc, _ = jax.lax.scan(body_pallas, acc, (a2N.T, keys.ginx_pallas))
+        return acc
+
     i = jnp.arange(N, dtype=jnp.int32)
     idx2n = (i[None, :] - i[:, None]) & (2 * N - 1)  # [N(i), N(k)] -> (k-i)
 

@@ -7,20 +7,32 @@ rotation inside EvalBinGate is ~99% of encrypted runtime) is the negacyclic
     prod[b, m, k] = sum_{r,i} digs[r, b, i] * key[r, m, (k - i) mod 2N]
 
 (m = parts*out*limb flattened), where the key index arithmetic encodes
-multiplication by a negacyclic matrix.  XLA can only express this with a
-134 MB gather per bootstrap step, which lowers catastrophically on TPU.
-This kernel materializes each negacyclic 128x128 tile *in VMEM* with a
-log-depth barrel shifter (masked ``pltpu.roll``) and feeds the MXU with
-int8 matmuls accumulating exactly in int32.
+multiplication by a block-negacyclic matrix.  XLA can only express this with
+a 134 MB gather per bootstrap step, which lowers catastrophically on TPU.
+This kernel materializes the negacyclic tiles *in VMEM* with a log-depth
+barrel shifter and feeds the MXU one [TB, R*128] x [R*128, M*128] int8
+matmul per grid cell, accumulating exactly in int32.
+
+Key ideas (all exactness-preserving):
+  * The (k_tile, i_tile) grid cell only depends on the diagonal k - i, so
+    the 2*nt-1 needed byte windows are precomputed host-side and selected
+    with BlockSpec index_map arithmetic — no dynamic slicing in-kernel.
+  * Key bytes are packed four-per-int32 lane (pltpu.roll is 32-bit only;
+    packing also cuts barrel traffic 4x).  The byte-granular part of each
+    row's shift is handled by storing the window at 4 byte-phases and
+    selecting per row; the word-granular part is a 6-round masked barrel.
+  * The built tile's columns come out plane-permuted (byte j of word w at
+    column j*32+w instead of 4w+j); the cheap int32 un-permute happens on
+    the kernel *output* outside Pallas (a [4,32] transpose per 128-column
+    tile commutes with the row contraction).
 
 Shapes (STD128: R = 2*d_g = 8 digit rows, M = parts*out*limbs = 16):
-    digs : int8 [R, B, N]
-    keys : int8 [R*M, 4N]   (negacyclic-extended key doubled again, so every
-                             barrel window is a plain aligned slice)
+    digs : int8 [N/128, B, R*128]          (pack_digits_for_pallas)
+    keys : int32 [2*nt-1, 4, R*M, SPANW]   (pack_keys_for_pallas)
     out  : int32 [B, M, N]
 
-Numerically exact; differentially tested against the jnp gather
-formulation and the NumPy golden model (tests/test_pallas.py).
+Numerically exact; differentially tested against the jnp gather formulation
+and the NumPy golden model (tests/test_pallas.py).
 """
 
 from __future__ import annotations
@@ -34,93 +46,151 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 128  # TI = TK = 128
-SPAN = 2 * TILE  # window length: covers i' + k' <= 254 < 256
+SPAN = 2 * TILE  # window bytes; net shift + read never exceeds 255
+SPANW = SPAN // 4  # packed int32 words per window
+TKW = TILE // 4  # words per output tile
 
 
-def _negacyclic_kernel(digs_ref, keys_ref, out_ref, *, N, R, M, TB):
+def _negacyclic_kernel(digs_ref, keys_ref, out_ref, dense_ref, *, N, R, M, TB):
     """Grid (k_tiles, i_tiles); i innermost so ``out`` stays resident.
 
-    digs_ref : [R, TB, TILE] int8   (block at (0, 0, i))
-    keys_ref : [R*M, 4N] int8       (full)
-    out_ref  : [TB, M, TILE] int32  (block at (0, 0, k))
+    digs_ref  : [1, TB, R*TILE] int8       (block at (i, 0, 0))
+    keys_ref  : [1, 4, R*M, SPANW] int32   (window block, diagonal k-i)
+    out_ref   : [TB, M, TILE] int32        (block at (0, 0, k))
+    dense_ref : scratch [R*TILE, M*TILE] int8
     """
-    k_idx = pl.program_id(0)
     i_idx = pl.program_id(1)
     TI = TK = TILE
 
-    # delta = (k0 - i0) mod 2N; window W[t] = keys[.., delta + t], t < SPAN.
-    delta = (k_idx * TK - i_idx * TI + 2 * N) % (2 * N)
-    delta = pl.multiple_of(delta, TILE)  # k0, i0, 2N are multiples of 128
-    row = jax.lax.broadcasted_iota(jnp.int32, (TI, SPAN), 0)
+    # Row i' of the tile needs the window left-shifted by amount = TI - i'.
+    roww = jax.lax.broadcasted_iota(jnp.int32, (TI, SPANW), 0)
+    amount = TI - roww  # byte shift in [1, 128]
+    v = amount & 3  # byte phase, handled by phase selection
+    wsh = amount >> 2  # word shift in [0, 32]
 
-    for m in range(M):
-        acc = jnp.zeros((TB, TK), jnp.int32)
-        for r in range(R):
-            w = keys_ref[r * M + m : r * M + m + 1, pl.ds(delta, SPAN)]
-            # barrel shift in int32 (pltpu.roll is 32-bit only):
-            # after the rounds, x[i', t] = w[i' + t]
-            x = jnp.broadcast_to(w, (TI, SPAN)).astype(jnp.int32)
-            for b in range(7):  # shifts 1..64 cover i' in [0, 128)
-                sh = 1 << b
-                rolled = pltpu.roll(x, SPAN - sh, 1)
-                x = jnp.where((row & sh) != 0, rolled, x)
-            dense = x[:, :TK].astype(jnp.int8)  # [TI, TK]
-            acc = acc + jax.lax.dot_general(
-                digs_ref[r],
-                dense,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
+    for r in range(R):
+        for m in range(M):
+            row_i = r * M + m
+            # per-row byte-phase select among the 4 pre-shifted windows
+            x = jnp.broadcast_to(keys_ref[0, 0, row_i, :], (TI, SPANW)).astype(
+                jnp.uint32
             )
+            for ph in (1, 2, 3):
+                xp = jnp.broadcast_to(
+                    keys_ref[0, ph, row_i, :], (TI, SPANW)
+                ).astype(jnp.uint32)
+                x = jnp.where(v == ph, xp, x)
+            # word-granular barrel (shifts 1..32 words)
+            for b in range(6):
+                shw = 1 << b
+                rolled = pltpu.roll(x, SPANW - shw, 1)
+                x = jnp.where((wsh & shw) != 0, rolled, x)
+            # plane-separated unpack of the first TKW words: column j*TKW+w
+            # holds byte j of word w (un-permuted outside the kernel)
+            x32 = x[:, :TKW]
+            planes = [
+                ((x32 >> jnp.uint32(8 * j)) & jnp.uint32(0xFF)).astype(jnp.int32)
+                for j in range(4)
+            ]
+            tile8 = jnp.concatenate(planes, axis=1).astype(jnp.int8)  # [TI, TK]
+            dense_ref[r * TI : (r + 1) * TI, m * TK : (m + 1) * TK] = tile8
 
-        @pl.when(i_idx == 0)
-        def _():
-            out_ref[:, m, :] = acc
+    res = jax.lax.dot_general(
+        digs_ref[0],
+        dense_ref[:],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [TB, M*TK]
 
-        @pl.when(i_idx != 0)
-        def _():
-            out_ref[:, m, :] = out_ref[:, m, :] + acc
+    @pl.when(i_idx == 0)
+    def _():
+        for m in range(M):
+            out_ref[:, m, :] = res[:, m * TK : (m + 1) * TK]
+
+    @pl.when(i_idx != 0)
+    def _():
+        for m in range(M):
+            out_ref[:, m, :] = out_ref[:, m, :] + res[:, m * TK : (m + 1) * TK]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def negacyclic_matmul_pallas(digs, keys4n, interpret: bool = False):
-    """digs int8 [R, B, N]; keys4n int8 [R*M, 4N] -> int32 [B, M, N].
-
-    Exact: |sum| <= R*N*128*128 = 2**27 for R=8, N=1024.
-    """
-    R, B, N = digs.shape
-    RM, four_n = keys4n.shape
-    assert four_n == 4 * N, (four_n, N)
-    assert RM % R == 0
+@functools.partial(jax.jit, static_argnames=("R", "interpret"))
+def negacyclic_matmul_pallas(digs_tiled, keys_windows, R: int, interpret: bool = False):
+    """digs_tiled int8 [N/128, B, R*128]; keys_windows int32
+    [2*nt-1, 4, R*M, SPANW] -> int32 [B, M, N] (column order corrected)."""
+    nt, B, RT = digs_tiled.shape
+    N = nt * TILE
+    assert RT == R * TILE
+    ndiag, nph, RM, spanw = keys_windows.shape
+    assert ndiag == 2 * nt - 1 and nph == 4 and spanw == SPANW
     M = RM // R
-    assert N % TILE == 0
-    nt = N // TILE
     kernel = functools.partial(_negacyclic_kernel, N=N, R=R, M=M, TB=B)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(nt, nt),
         in_specs=[
-            pl.BlockSpec((R, B, TILE), lambda k, i: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RM, 4 * N), lambda k, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, RT), lambda k, i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 4, RM, SPANW), lambda k, i: (k - i + nt - 1, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
             (B, M, TILE), lambda k, i: (0, 0, k), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, M, N), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((R * TILE, M * TILE), jnp.int8)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * R * M * N,
-            bytes_accessed=R * B * N + RM * 4 * N + B * M * N * 4,
+            bytes_accessed=B * N * R + ndiag * 4 * RM * SPAN + B * M * N * 4,
             transcendentals=0,
         ),
-    )(digs, keys4n)
+    )(digs_tiled, keys_windows)
+    # undo the per-tile plane permutation: column j*TKW+w -> 4w+j
+    out5 = out.reshape(B, M, nt, 4, TKW)
+    return jnp.transpose(out5, (0, 1, 2, 4, 3)).reshape(B, M, N)
 
 
-def negacyclic_matmul_reference(digs, keys4n):
-    """jnp gather reference of the same contraction (tests/CPU path)."""
+def pack_digits_for_pallas(digs: jnp.ndarray) -> jnp.ndarray:
+    """int8 [R, B, N] -> [N/128, B, R*128] (i-tile-major for the kernel)."""
     R, B, N = digs.shape
-    RM = keys4n.shape[0]
+    nt = N // TILE
+    d = digs.reshape(R, B, nt, TILE)
+    return jnp.transpose(d, (2, 1, 0, 3)).reshape(nt, B, R * TILE)
+
+
+def pack_keys_for_pallas(keys_ext_int8: np.ndarray) -> np.ndarray:
+    """[RM, 2N] int8 (negacyclic-extended key) -> [2*nt-1, 4, RM, SPANW]
+    int32 packed byte windows.
+
+    Window (d, v) starts at byte ((d - (nt-1) - 1) * TILE) mod 2N, plus the
+    byte phase v, over the cyclic 2N-extended sequence.
+    """
+    k = np.asarray(keys_ext_int8)
+    RM, two_n = k.shape
+    N = two_n // 2
+    nt = N // TILE
+    reps = -(-(2 * N + SPAN + 4) // two_n) + 1
+    tiled = np.concatenate([k] * reps, axis=-1)  # cyclic extension
+    wins = np.empty((2 * nt - 1, 4, RM, SPAN), dtype=np.int8)
+    for d in range(2 * nt - 1):
+        start = ((d - (nt - 1) - 1) * TILE) % (2 * N)
+        for v in range(4):
+            wins[d, v] = tiled[:, start + v : start + v + SPAN]
+    b = wins.astype(np.uint8).astype(np.uint32)
+    w = b[..., 0::4] | (b[..., 1::4] << 8) | (b[..., 2::4] << 16) | (b[..., 3::4] << 24)
+    return w.astype(np.int32)
+
+
+def negacyclic_matmul_reference(digs, keys_ext):
+    """jnp gather reference of the same contraction (tests/CPU path).
+
+    digs int8 [R, B, N]; keys_ext int8 [R*M, 2N] (UNPACKED) -> int32 [B, M, N].
+    """
+    R, B, N = digs.shape
+    RM = keys_ext.shape[0]
     M = RM // R
-    keys = keys4n.reshape(R, M, 4 * N)[..., : 2 * N]
+    keys = keys_ext.reshape(R, M, 2 * N)
     i = jnp.arange(N, dtype=jnp.int32)
     idx = (i[None, :] - i[:, None]) % (2 * N)  # [i, k]
     dense = keys[..., idx]  # [R, M, N(i), N(k)]

@@ -1,0 +1,139 @@
+"""TB_* command-line test benches (reference src/TB_*.cpp parity).
+
+Each entry point mirrors its reference executable: optional analyze (-z) /
+assemble (-a) steps, then the golden-model harness over its circuit list
+with the selected parameter set and method.  Run via::
+
+    python -m oece_tpu.harness.tb <bench> [-s TOY] [-m GINX] [-n 4] [...]
+
+where <bench> is one of: adder_2bit, parity, adders, comparators,
+multipliers, md5, sha256, aes, all.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from ..circuits.analyze import analyze, assemble
+from ..utils.cli import Options, parse_inputs
+from . import testlib as tl
+
+R = tl.DEFAULT_CIRCUITS_DIR
+
+
+def _prep(fname: str, opt: Options) -> str:
+    """Reference flow: -z analyze, -a assemble to *_FHE.out then use it
+    (TB_comparators.cpp:126-145 pattern)."""
+    if opt.analyze:
+        a = analyze(fname, gen_fan=opt.fanout)
+        print(a.report())
+        if opt.assemble:
+            out = os.path.join("/tmp", os.path.basename(fname).rsplit(".", 1)[0] + "_FHE.out")
+            assemble(a, out, debug=opt.verbose)
+            return out
+    return fname
+
+
+def _run(results, fn, fname, opt: Options, n=None, **kw):
+    fname = _prep(fname, opt)
+    r = fn(
+        fname,
+        n or opt.num_test_loops,
+        set=opt.set,
+        method=opt.method,
+        encrypted=not opt.plaintext_only,
+        seed=opt.seed,
+        verbose=opt.verbose,
+        **kw,
+    )
+    print(("PASS " if r.passed else "FAIL ") + r.summary())
+    results.append(r)
+
+
+def tb_adder_2bit(opt):
+    out = []
+    _run(out, tl.test_adder, f"{R}/simple_ckts/adder_2bit/adder_2bit.out", opt)
+    return out
+
+
+def tb_parity(opt):
+    out = []
+    _run(out, tl.test_parity, f"{R}/simple_ckts/parity/parity.out", opt)
+    return out
+
+
+def tb_adders(opt):
+    out = []
+    for f in ("adder_32bit.txt", "adder_64bit.txt"):
+        _run(out, tl.test_adder, f"{R}/old_bristol_ckts/arith/{f}", opt)
+    return out
+
+
+def tb_comparators(opt):
+    out = []
+    for f in (
+        "comparator_32bit_signed_lt.txt",
+        "comparator_32bit_signed_lteq.txt",
+        "comparator_32bit_unsigned_lt.txt",
+        "comparator_32bit_unsigned_lteq.txt",
+    ):
+        _run(out, tl.test_comparator, f"{R}/old_bristol_ckts/arith/{f}", opt)
+    return out
+
+
+def tb_multipliers(opt):
+    out = []
+    _run(out, tl.test_multiplier, f"{R}/old_bristol_ckts/arith/mult_32x32.txt", opt)
+    return out
+
+
+def tb_md5(opt):
+    out = []
+    _run(out, tl.test_md5, f"{R}/old_bristol_ckts/crypto/md5.txt", opt)
+    return out
+
+
+def tb_sha256(opt):
+    out = []
+    _run(out, tl.test_sha256, f"{R}/new_bristol_ckts/crypto/sha256.txt", opt)
+    return out
+
+
+def tb_aes(opt):
+    out = []
+    for f in ("AES-expanded.txt", "AES-non-expanded.txt"):
+        _run(out, tl.test_aes, f"{R}/old_bristol_ckts/crypto/{f}", opt)
+    return out
+
+
+BENCHES = {
+    "adder_2bit": tb_adder_2bit,
+    "parity": tb_parity,
+    "adders": tb_adders,
+    "comparators": tb_comparators,
+    "multipliers": tb_multipliers,
+    "md5": tb_md5,
+    "sha256": tb_sha256,
+    "aes": tb_aes,
+}
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] not in list(BENCHES) + ["all"]:
+        print(f"usage: python -m oece_tpu.harness.tb <{'|'.join(BENCHES)}|all> [flags]")
+        return 2
+    bench = argv.pop(0)
+    opt = parse_inputs(argv, description=f"TB_{bench}")
+    names = list(BENCHES) if bench == "all" else [bench]
+    results = []
+    for nm in names:
+        results += BENCHES[nm](opt)
+    npass = sum(r.passed for r in results)
+    print(f"=== {npass}/{len(results)} benches passed ===")
+    return 0 if npass == len(results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
