@@ -208,17 +208,22 @@ def signed_digits_dev(x: jnp.ndarray, B: int, d: int) -> jnp.ndarray:
 
 
 def monomial_rotate(P: jnp.ndarray, c: jnp.ndarray, N: int, Q: int) -> jnp.ndarray:
-    """P [B, ..., N] * X^{c[B]} in Z_Q[X]/(X^N+1); c in [0, 2N)."""
-    k = jnp.arange(N, dtype=jnp.int32)
-    idx = (k[None, :] - c[:, None]) & (2 * N - 1)  # [B, N]
-    wrap = idx >= N
-    idx_n = jnp.where(wrap, idx - N, idx)
-    shape = (P.shape[0],) + (1,) * (P.ndim - 2) + (N,)
-    idx_b = idx_n.reshape(shape)
-    wrap_b = wrap.reshape(shape)
-    gathered = jnp.take_along_axis(P, jnp.broadcast_to(idx_b, P.shape), axis=-1)
-    neg = jnp.where(gathered == 0, 0, Q - gathered)
-    return jnp.where(jnp.broadcast_to(wrap_b, P.shape), neg, gathered)
+    """P [B, ..., N] * X^{c[B]} in Z_Q[X]/(X^N+1); c in [0, 2N).
+
+    Gather-free: the negacyclic rotation is done on the 2N extension
+    [P, -P] with a per-row barrel shifter — log2(2N) masked static rolls.
+    (XLA gathers lower catastrophically on TPU; static rolls are cheap.)
+    """
+    neg = jnp.where(P == 0, 0, Q - P)
+    x = jnp.concatenate([P, neg], axis=-1)  # [B, ..., 2N]
+    cshape = (P.shape[0],) + (1,) * (P.ndim - 1)
+    cb = c.reshape(cshape)
+    # right-rotate row b by c[b]: X'[k] = X[(k - c) mod 2N]
+    for b in range(int(np.log2(2 * N))):
+        sh = 1 << b
+        rolled = jnp.roll(x, sh, axis=-1)
+        x = jnp.where((cb & sh) != 0, rolled, x)
+    return x[..., :N]
 
 
 def _acc_init(tv_sel: jnp.ndarray, b2N: jnp.ndarray, N: int, Q: int) -> jnp.ndarray:

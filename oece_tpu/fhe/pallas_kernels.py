@@ -27,8 +27,14 @@ Key ideas (all exactness-preserving):
     tile commutes with the row contraction).
 
 Shapes (STD128: R = 2*d_g = 8 digit rows, M = parts*out*limbs = 16):
-    digs : int8 [N/128, B, R*128]          (pack_digits_for_pallas)
-    keys : int32 [2*nt-1, 4, R*M, SPANW]   (pack_keys_for_pallas)
+    digs : int8 [N/128, B, R*128]           (pack_digits_for_pallas)
+    keys : int32 [2*nt-1, 4, R*M*SPANW]     (pack_keys_for_pallas; windows
+                                             flattened so the whole block
+                                             barrels in one full-lane pass —
+                                             max shift 32 words < the 64-word
+                                             segment, so a global roll never
+                                             contaminates the consumed 32
+                                             leading words of any segment)
     out  : int32 [B, M, N]
 
 Numerically exact; differentially tested against the jnp gather formulation
@@ -55,39 +61,35 @@ def _negacyclic_kernel(digs_ref, keys_ref, out_ref, dense_ref, *, N, R, M, TB):
     """Grid (k_tiles, i_tiles); i innermost so ``out`` stays resident.
 
     digs_ref  : [1, TB, R*TILE] int8       (block at (i, 0, 0))
-    keys_ref  : [1, 4, R*M, SPANW] int32   (window block, diagonal k-i)
+    keys_ref  : [1, 4, R*M*SPANW] int32    (window block, diagonal k-i)
     out_ref   : [TB, M, TILE] int32        (block at (0, 0, k))
     dense_ref : scratch [R*TILE, M*TILE] int8
     """
     i_idx = pl.program_id(1)
     TI = TK = TILE
+    RMW = R * M * SPANW
 
-    # Row i' of the tile needs the window left-shifted by amount = TI - i'.
-    roww = jax.lax.broadcasted_iota(jnp.int32, (TI, SPANW), 0)
+    # Row i' of the tile needs its window left-shifted by amount = TI - i'.
+    roww = jax.lax.broadcasted_iota(jnp.int32, (TI, RMW), 0)
     amount = TI - roww  # byte shift in [1, 128]
     v = amount & 3  # byte phase, handled by phase selection
     wsh = amount >> 2  # word shift in [0, 32]
 
+    # One full-lane barrel pass over ALL R*M windows at once.
+    x = jnp.broadcast_to(keys_ref[0, 0, :], (TI, RMW)).astype(jnp.uint32)
+    for ph in (1, 2, 3):
+        xp = jnp.broadcast_to(keys_ref[0, ph, :], (TI, RMW)).astype(jnp.uint32)
+        x = jnp.where(v == ph, xp, x)
+    for b in range(6):  # word shifts 1..32
+        shw = 1 << b
+        rolled = pltpu.roll(x, RMW - shw, 1)
+        x = jnp.where((wsh & shw) != 0, rolled, x)
+
     for r in range(R):
         for m in range(M):
-            row_i = r * M + m
-            # per-row byte-phase select among the 4 pre-shifted windows
-            x = jnp.broadcast_to(keys_ref[0, 0, row_i, :], (TI, SPANW)).astype(
-                jnp.uint32
-            )
-            for ph in (1, 2, 3):
-                xp = jnp.broadcast_to(
-                    keys_ref[0, ph, row_i, :], (TI, SPANW)
-                ).astype(jnp.uint32)
-                x = jnp.where(v == ph, xp, x)
-            # word-granular barrel (shifts 1..32 words)
-            for b in range(6):
-                shw = 1 << b
-                rolled = pltpu.roll(x, SPANW - shw, 1)
-                x = jnp.where((wsh & shw) != 0, rolled, x)
-            # plane-separated unpack of the first TKW words: column j*TKW+w
-            # holds byte j of word w (un-permuted outside the kernel)
-            x32 = x[:, :TKW]
+            x32 = x[:, (r * M + m) * SPANW : (r * M + m) * SPANW + TKW]
+            # plane-separated unpack: column j*TKW+w holds byte j of word w
+            # (un-permuted outside the kernel)
             planes = [
                 ((x32 >> jnp.uint32(8 * j)) & jnp.uint32(0xFF)).astype(jnp.int32)
                 for j in range(4)
@@ -120,8 +122,9 @@ def negacyclic_matmul_pallas(digs_tiled, keys_windows, R: int, interpret: bool =
     nt, B, RT = digs_tiled.shape
     N = nt * TILE
     assert RT == R * TILE
-    ndiag, nph, RM, spanw = keys_windows.shape
-    assert ndiag == 2 * nt - 1 and nph == 4 and spanw == SPANW
+    ndiag, nph, rmw = keys_windows.shape
+    assert ndiag == 2 * nt - 1 and nph == 4
+    RM = rmw // SPANW
     M = RM // R
     kernel = functools.partial(_negacyclic_kernel, N=N, R=R, M=M, TB=B)
     out = pl.pallas_call(
@@ -130,7 +133,7 @@ def negacyclic_matmul_pallas(digs_tiled, keys_windows, R: int, interpret: bool =
         in_specs=[
             pl.BlockSpec((1, B, RT), lambda k, i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, 4, RM, SPANW), lambda k, i: (k - i + nt - 1, 0, 0, 0),
+                (1, 4, RM * SPANW), lambda k, i: (k - i + nt - 1, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -179,7 +182,7 @@ def pack_keys_for_pallas(keys_ext_int8: np.ndarray) -> np.ndarray:
             wins[d, v] = tiled[:, start + v : start + v + SPAN]
     b = wins.astype(np.uint8).astype(np.uint32)
     w = b[..., 0::4] | (b[..., 1::4] << 8) | (b[..., 2::4] << 16) | (b[..., 3::4] << 24)
-    return w.astype(np.int32)
+    return w.astype(np.int32).reshape(2 * nt - 1, 4, RM * SPANW)
 
 
 def negacyclic_matmul_reference(digs, keys_ext):

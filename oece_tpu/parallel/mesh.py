@@ -28,10 +28,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..fhe import boot
 from ..fhe.params import BinFHEMethod
 
-try:  # JAX >= 0.6
-    from jax.experimental.shard_map import shard_map
+try:  # JAX >= 0.8
+    from jax import shard_map
 except ImportError:  # pragma: no cover
-    from jax.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map
 
 
 def make_mesh(n_devices: Optional[int] = None, tp: int = 1) -> Mesh:
@@ -89,7 +89,6 @@ def make_sharded_gate_fn(keys: boot.DeviceBootKeys, mesh: Mesh):
             P("dp", None),
         ),
         out_specs=P("dp", None),
-        check_vma=False,
     )
 
     @jax.jit

@@ -9,7 +9,10 @@ import os
 import sys
 
 if os.environ.get("OECE_TEST_TPU", "0") != "1":
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    # the axon TPU plugin (sitecustomize) overrides JAX_PLATFORMS; it keys
+    # off this env var, so clearing it keeps tests on the local CPU
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
