@@ -39,7 +39,7 @@ from . import pallas_kernels as pk
 from .params import BinFHEParams, BinFHEMethod, BinGate, Q27
 
 # Largest per-kernel-call batch (VMEM bound); bigger batches are chunked.
-PALLAS_MAX_B = 256
+PALLAS_MAX_B = 512
 
 # Fixed gate enumeration for per-gate test-vector / prep-weight tables.
 GATE_ORDER = [
@@ -247,13 +247,7 @@ def _external_cmux_pallas(acc, a_col, kwin_i, p: BinFHEParams):
     B = acc.shape[0]
     digs = _digits_rbn(acc, p)  # [R, B, N]
     dt = pk.pack_digits_for_pallas(digs)  # [nt, B, R*128]
-    chunks = []
-    step = min(PALLAS_MAX_B, B)
-    for c0 in range(0, B, step):
-        chunks.append(
-            pk.negacyclic_matmul_pallas(dt[:, c0 : c0 + step], kwin_i, 2 * p.d_g)
-        )
-    prod = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
+    prod = pk.negacyclic_matmul_split(dt, kwin_i, 2 * p.d_g, max_b=PALLAS_MAX_B)
     # [B, M, N] with m = (part, out, limb)
     prod = prod.reshape(B, 2, 2, modmath.N_LIMBS, N)
     prod = jnp.transpose(prod, (0, 1, 2, 4, 3))  # [B, parts, out, N, L]

@@ -57,6 +57,138 @@ SPANW = SPAN // 4  # packed int32 words per window
 TKW = TILE // 4  # words per output tile
 
 
+def _build_diag_kernel(keys_ref, dense_ref, *, R, M):
+    """Grid (ndiag,): materialize the dense negacyclic block for one
+    diagonal (shared by every (k, i) cell with k - i = d, and by every
+    batch chunk) into HBM.
+
+    keys_ref  : [1, 4, R*M*SPANW] int32 (this diagonal's packed windows)
+    dense_ref : [1, R*TILE, M*TILE] int8 out block
+    """
+    TI = TK = TILE
+    RMW = R * M * SPANW
+    roww = jax.lax.broadcasted_iota(jnp.int32, (TI, RMW), 0)
+    amount = TI - roww  # per-row left byte shift in [1, 128]
+    v = amount & 3
+    wsh = amount >> 2
+
+    x = jnp.broadcast_to(keys_ref[0, 0, :], (TI, RMW)).astype(jnp.uint32)
+    for ph in (1, 2, 3):
+        xp = jnp.broadcast_to(keys_ref[0, ph, :], (TI, RMW)).astype(jnp.uint32)
+        x = jnp.where(v == ph, xp, x)
+    for b in range(6):  # word shifts 1..32
+        shw = 1 << b
+        rolled = pltpu.roll(x, RMW - shw, 1)
+        x = jnp.where((wsh & shw) != 0, rolled, x)
+
+    for r in range(R):
+        for m in range(M):
+            x32 = x[:, (r * M + m) * SPANW : (r * M + m) * SPANW + TKW]
+            planes = [
+                ((x32 >> jnp.uint32(8 * j)) & jnp.uint32(0xFF)).astype(jnp.int32)
+                for j in range(4)
+            ]
+            tile8 = jnp.concatenate(planes, axis=1).astype(jnp.int8)
+            dense_ref[0, r * TI : (r + 1) * TI, m * TK : (m + 1) * TK] = tile8
+
+
+def _diag_matmul_kernel(digs_ref, dense_ref, out_ref, *, M, TB):
+    """Grid (k_tiles, i_tiles): int8 MXU contraction against the prebuilt
+    diagonal dense blocks (streamed from HBM by BlockSpec).
+
+    digs_ref  : [1, TB, R*TILE] int8  (block at (i, 0, 0))
+    dense_ref : [1, R*TILE, M*TILE] int8 (block at (k-i+nt-1, 0, 0))
+    out_ref   : [TB, M, TILE] int32 (block at (0, 0, k))
+    """
+    i_idx = pl.program_id(1)
+    TK = TILE
+    res = jax.lax.dot_general(
+        digs_ref[0],
+        dense_ref[0],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [TB, M*TK]
+
+    @pl.when(i_idx == 0)
+    def _():
+        for m in range(M):
+            out_ref[:, m, :] = res[:, m * TK : (m + 1) * TK]
+
+    @pl.when(i_idx != 0)
+    def _():
+        for m in range(M):
+            out_ref[:, m, :] = out_ref[:, m, :] + res[:, m * TK : (m + 1) * TK]
+
+
+def build_diagonals_pallas(keys_windows, R: int, interpret: bool = False):
+    """keys_windows int32 [ndiag, 4, R*M*SPANW] -> dense int8
+    [ndiag, R*TILE, M*TILE] (built once per bootstrap step)."""
+    ndiag, nph, rmw = keys_windows.shape
+    RM = rmw // SPANW
+    M = RM // R
+    kernel = functools.partial(_build_diag_kernel, R=R, M=M)
+    return pl.pallas_call(
+        kernel,
+        grid=(ndiag,),
+        in_specs=[
+            pl.BlockSpec((1, 4, rmw), lambda d: (d, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, R * TILE, M * TILE), lambda d: (d, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((ndiag, R * TILE, M * TILE), jnp.int8),
+        interpret=interpret,
+    )(keys_windows)
+
+
+def diag_matmul_pallas(digs_tiled, dense_all, R: int, interpret: bool = False):
+    """digs_tiled int8 [nt, B, R*128]; dense_all int8 [2*nt-1, R*128, M*128]
+    -> int32 [B, M, N] (plane-permuted columns, like the fused kernel)."""
+    nt, B, RT = digs_tiled.shape
+    N = nt * TILE
+    ndiag, _, MT = dense_all.shape
+    M = MT // TILE
+    kernel = functools.partial(_diag_matmul_kernel, M=M, TB=B)
+    return pl.pallas_call(
+        kernel,
+        grid=(nt, nt),
+        in_specs=[
+            pl.BlockSpec((1, B, RT), lambda k, i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, RT, MT), lambda k, i: (k - i + nt - 1, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (B, M, TILE), lambda k, i: (0, 0, k), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, M, N), jnp.int32),
+        interpret=interpret,
+    )(digs_tiled, dense_all)
+
+
+@functools.partial(jax.jit, static_argnames=("R", "max_b", "interpret"))
+def negacyclic_matmul_split(
+    digs_tiled, keys_windows, R: int, max_b: int = 512, interpret: bool = False
+):
+    """Two-phase pipeline: build the 2*nt-1 diagonal dense blocks once, then
+    MXU-contract every batch chunk against them.  Same result (and column
+    un-permutation) as negacyclic_matmul_pallas, far less barrel traffic."""
+    nt, B, RT = digs_tiled.shape
+    N = nt * TILE
+    dense_all = build_diagonals_pallas(keys_windows, R, interpret)
+    M = dense_all.shape[2] // TILE
+    step = min(max_b, B)
+    chunks = []
+    for c0 in range(0, B, step):
+        chunks.append(
+            diag_matmul_pallas(digs_tiled[:, c0 : c0 + step], dense_all, R, interpret)
+        )
+    out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
+    out5 = out.reshape(B, M, nt, 4, TKW)
+    return jnp.transpose(out5, (0, 1, 2, 4, 3)).reshape(B, M, N)
+
+
 def _negacyclic_kernel(digs_ref, keys_ref, out_ref, dense_ref, *, N, R, M, TB):
     """Grid (k_tiles, i_tiles); i innermost so ``out`` stays resident.
 
