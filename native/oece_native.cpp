@@ -129,20 +129,34 @@ ParsedCircuit* parse_bristol_impl(const char* path) {
   pc->in0.reserve(pc->n_gates);
   pc->in1.reserve(pc->n_gates);
   pc->out.reserve(pc->n_gates);
+  int64_t parsed = 0;  // header gate-line count (a MAND line is ONE gate)
   for (size_t li = gate_start; li < lines.size(); li++) {
     const auto& t = lines[li];
-    if (static_cast<int64_t>(pc->op.size()) >= pc->n_gates) break;
+    if (parsed >= pc->n_gates) break;
     if (t.size() < 3) continue;
     const std::string& opname = t.back();
-    if (opname == "MAND") {
-      pc->error = "MAND gates are not supported";
-      return pc;
-    }
     int n_in = atoi(t[0].c_str());
     int n_out = atoi(t[1].c_str());
     if (static_cast<int>(t.size()) < 2 + n_in + n_out + 1) {
       pc->error = "malformed gate line " + std::to_string(li);
       return pc;
+    }
+    parsed++;
+    if (opname == "MAND") {
+      // new-fashion multi-AND: out[j] = AND(in[j], in[n_out+j]); decomposed
+      // into n_out native AND rows (the reference assembler rejects MAND,
+      // assemble.cpp:88-90 — here it is supported).
+      if (n_in != 2 * n_out) {
+        pc->error = "MAND arity mismatch at line " + std::to_string(li);
+        return pc;
+      }
+      for (int j = 0; j < n_out; j++) {
+        pc->op.push_back(OP_AND);
+        pc->in0.push_back(atoi(t[2 + j].c_str()));
+        pc->in1.push_back(atoi(t[2 + n_out + j].c_str()));
+        pc->out.push_back(atoi(t[2 + n_in + j].c_str()));
+      }
+      continue;
     }
     if (opname == "EQ") {
       int cval = atoi(t[2].c_str());
@@ -164,8 +178,8 @@ ParsedCircuit* parse_bristol_impl(const char* path) {
       pc->out.push_back(atoi(t[2 + n_in].c_str()));
     }
   }
-  if (static_cast<int64_t>(pc->op.size()) != pc->n_gates)
-    pc->error = "gate count mismatch";
+  if (parsed != pc->n_gates) pc->error = "gate count mismatch";
+  pc->n_gates = static_cast<int64_t>(pc->op.size());
   return pc;
 }
 

@@ -26,6 +26,7 @@ from typing import List
 
 import numpy as np
 
+from .lut import lower_lut
 from .netlist import Netlist, Op
 
 _ASM_OPS = {
@@ -44,6 +45,11 @@ _RE_LOAD = re.compile(r"R(\d+)\s*=\s*LOAD\(\s*In(\d+)\s*,\s*(\d+)\s*\)")
 _RE_STORE = re.compile(r"Out(\d+)\s*=\s*STORE\(\s*R(\d+)\s*\)")
 _RE_OP2 = re.compile(r"R(\d+)\s*=\s*(\w+)\(\s*R(\d+)\s*,\s*R(\d+)\s*\)")
 _RE_OP1 = re.compile(r"R(\d+)\s*=\s*(\w+)\(\s*R(\d+)\s*\)")
+# LUT extension (working replacement for the reference's stub gate types,
+# gate.cpp:217-225): Rd = LUT3(0xE8, Ra, Rb, Rc) / LUT4(0x1234, Ra..Rd)
+_RE_LUT = re.compile(
+    r"R(\d+)\s*=\s*LUT([34])\(\s*(0[xX][0-9a-fA-F]+|\d+)\s*((?:,\s*R\d+\s*)+)\)"
+)
 
 
 def parse_asm(path_or_text: str, name: str | None = None) -> Netlist:
@@ -101,6 +107,31 @@ def parse_asm(path_or_text: str, name: str | None = None) -> Netlist:
             word1 = 1  # reference uses Out<k> with a single output word 1
             k, r = int(m.group(1)), int(m.group(2))
             out_word_regs.setdefault(word1, {})[k] = reg_wire[r]
+            continue
+        m = _RE_LUT.match(ln)
+        if m:
+            r, k, mask = int(m.group(1)), int(m.group(2)), int(m.group(3), 0)
+            regs = [int(x) for x in re.findall(r"R(\d+)", m.group(4))]
+            if len(regs) != k:
+                raise ValueError(f"LUT{k} needs {k} inputs: {raw!r}")
+
+            def _emit(op, a, b):
+                w = new_wire()
+                ops.append(int(op))
+                in0.append(a)
+                in1.append(b)
+                outw.append(w)
+                return w
+
+            def _const(bit):
+                w = new_wire()
+                ops.append(int(Op.EQ1 if bit else Op.EQ0))
+                in0.append(0)
+                in1.append(0)
+                outw.append(w)
+                return w
+
+            reg_wire[r] = lower_lut(_emit, _const, mask, [reg_wire[x] for x in regs])
             continue
         m = _RE_OP2.match(ln)
         if m and m.group(2) in _ASM_OPS and m.group(2) != "NOT":

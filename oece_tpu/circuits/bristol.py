@@ -92,40 +92,52 @@ def parse_bristol(path: str, name: str | None = None, fmt: str = "auto") -> Netl
         out_bits = [n_out1]
         gate_lines = lines[2:]
 
-    ops = np.empty(n_gates, dtype=np.int32)
-    in0 = np.zeros(n_gates, dtype=np.int32)
-    in1 = np.zeros(n_gates, dtype=np.int32)
-    out = np.empty(n_gates, dtype=np.int32)
+    ops: List[int] = []
+    in0: List[int] = []
+    in1: List[int] = []
+    out: List[int] = []
 
-    k = 0
+    k = 0  # header gate-line count (a MAND line is ONE gate)
     for ln in gate_lines:
         if k >= n_gates:
             break
         parts = ln.split()
         opname = parts[-1]
-        if opname == "MAND":
-            raise NotImplementedError(
-                f"{path}: MAND gates are not supported (parity with the "
-                "reference assembler, assemble.cpp:88-90)"
-            )
         n_in, n_out = int(parts[0]), int(parts[1])
         wires = [int(x) for x in parts[2 : 2 + n_in + n_out]]
-        if opname == "EQ":
+        if opname == "MAND":
+            # new-fashion multi-AND: out[j] = AND(in[j], in[n_out+j]);
+            # decomposed into native ANDs (the reference assembler rejects
+            # MAND, assemble.cpp:88-90 — here it is supported).
+            if n_in != 2 * n_out:
+                raise ValueError(f"{path}: MAND arity mismatch: {ln!r}")
+            for j in range(n_out):
+                ops.append(int(Op.AND))
+                in0.append(wires[j])
+                in1.append(wires[n_out + j])
+                out.append(wires[n_in + j])
+        elif opname == "EQ":
             # constant assignment: input token is the constant 0/1
             const = wires[0]
-            ops[k] = int(Op.EQ1 if const else Op.EQ0)
-            out[k] = wires[n_in]
+            ops.append(int(Op.EQ1 if const else Op.EQ0))
+            in0.append(0)
+            in1.append(0)
+            out.append(wires[n_in])
         else:
             op = _OP_MAP.get(opname)
             if op is None:
                 raise ValueError(f"{path}: unknown op {opname!r}")
-            ops[k] = int(op)
-            in0[k] = wires[0]
-            in1[k] = wires[1] if n_in > 1 else wires[0]
-            out[k] = wires[n_in]
+            ops.append(int(op))
+            in0.append(wires[0])
+            in1.append(wires[1] if n_in > 1 else wires[0])
+            out.append(wires[n_in])
         k += 1
     if k != n_gates:
         raise ValueError(f"{path}: expected {n_gates} gates, found {k}")
+    ops = np.array(ops, dtype=np.int32)
+    in0 = np.array(in0, dtype=np.int32)
+    in1 = np.array(in1, dtype=np.int32)
+    out = np.array(out, dtype=np.int32)
 
     inputs = []
     off = 0

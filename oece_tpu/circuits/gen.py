@@ -17,6 +17,7 @@ from typing import List, Sequence
 
 import numpy as np
 
+from .lut import lower_lut
 from .netlist import Netlist, Op
 
 
@@ -32,6 +33,8 @@ class Builder:
         self.in1: List[int] = []
         self.outw: List[int] = []
         self._outputs: List[np.ndarray] = []
+        self._dff_q: List[int] = []
+        self._dff_d: List[int | None] = []
 
     # -- wires ----------------------------------------------------------
     def _new(self) -> int:
@@ -77,6 +80,36 @@ class Builder:
         """sel ? b : a  (2 AND + 1 OR + 1 NOT)."""
         return self.OR(self.AND(self.NOT(sel), a), self.AND(sel, b))
 
+    def LUT(self, mask: int, ins: Sequence[int]) -> int:
+        """k-input lookup table, lowered to native gates (circuits/lut.py).
+
+        The reference declares LUT3/LUT4 but never implements them
+        (src/gate.cpp:217-225); here any k works.  ins[0] is the LSB of the
+        truth-table index."""
+        return lower_lut(
+            lambda op, a, b: self._gate(op, a, b), self.const, mask, list(ins)
+        )
+
+    def LUT3(self, mask: int, a, b, c):
+        return self.LUT(mask, [a, b, c])
+
+    def LUT4(self, mask: int, a, b, c, d):
+        return self.LUT(mask, [a, b, c, d])
+
+    def DFF(self) -> int:
+        """Allocate a flip-flop output (state) wire.  Q reads as 0 on the
+        first cycle after Reset; bind its next-state input with dff_bind.
+        (The reference lists DFF as a to-do, src/gate.cpp:217-225 and
+        README.md:55; here clocked circuits are first-class.)"""
+        q = self._new()
+        self._dff_q.append(q)
+        self._dff_d.append(None)
+        return q
+
+    def dff_bind(self, q: int, d: int) -> None:
+        ix = self._dff_q.index(q)
+        self._dff_d[ix] = d
+
     # -- word helpers ----------------------------------------------------
     def xor_word(self, A, B):
         return [self.XOR(a, b) for a, b in zip(A, B)]
@@ -110,6 +143,7 @@ class Builder:
         return [A[i + r] if i + r < n else zero for i in range(n)]
 
     def build(self) -> Netlist:
+        assert all(d is not None for d in self._dff_d), "unbound DFF (dff_bind)"
         nl = Netlist(
             name=self.name,
             n_wires=self.n_wires,
@@ -119,6 +153,8 @@ class Builder:
             in0=np.array(self.in0, dtype=np.int32),
             in1=np.array(self.in1, dtype=np.int32),
             out=np.array(self.outw, dtype=np.int32),
+            dff_d=np.array(self._dff_d, dtype=np.int32),
+            dff_q=np.array(self._dff_q, dtype=np.int32),
         )
         return nl
 

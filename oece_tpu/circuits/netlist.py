@@ -59,10 +59,23 @@ class Netlist:
     in0: np.ndarray            # [G] int32
     in1: np.ndarray            # [G] int32
     out: np.ndarray            # [G] int32
+    # Sequential state (the reference's unimplemented DFF, gate.cpp:217-225):
+    # flip-flop k holds state on wire dff_q[k]; each Clock() cycle latches
+    # dff_d[k] into it.  Q wires read as 0 on the first cycle after Reset.
+    dff_d: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.empty(0, dtype=np.int32)
+    )
+    dff_q: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.empty(0, dtype=np.int32)
+    )
 
     @property
     def n_gates(self) -> int:
         return int(self.op.shape[0])
+
+    @property
+    def n_dff(self) -> int:
+        return int(self.dff_q.shape[0])
 
     @property
     def input_bits(self) -> List[int]:
@@ -84,6 +97,7 @@ class Netlist:
         produced = np.zeros(self.n_wires, dtype=bool)
         for word in self.inputs:
             produced[word] = True
+        produced[self.dff_q] = True  # state wires are readable from cycle 0
         # every gate input must be produced by an earlier gate or an input
         order = np.argsort(np.arange(G))  # file order
         for k in order:
@@ -95,6 +109,7 @@ class Netlist:
             produced[self.out[k]] = True
         for word in self.outputs:
             assert np.all(produced[word])
+        assert np.all(produced[self.dff_d]), "DFF D input never produced"
 
 
 @dataclasses.dataclass

@@ -38,6 +38,7 @@ from ..circuits.netlist import (
 )
 from ..fhe import boot, golden, lwe
 from ..fhe.params import BinFHEMethod, BinGate, get_params
+from ..utils.trace import LevelRecord, Trace
 
 _OP_TO_GATE = {
     Op.AND: BinGate.AND,
@@ -172,6 +173,12 @@ class Circuit:
         self.manager_time = 0.0
         self.exec_time = 0.0
         self._done = False
+        # sequential state (DFF extension): values latched on wire dff_q,
+        # cleared to 0 at Reset, carried across Clock() cycles.
+        self._state_plain: Optional[np.ndarray] = None  # [T, n_dff]
+        self._state_ct = None  # jnp [n_dff, T, n+1]
+        self.trace: Optional[Trace] = None
+        self._bootstraps_run = 0
 
     # -- SetInput (circuit.cpp:455-530 parity) ------------------------------
     def SetInput(self, inputs: Sequence[np.ndarray], verbose: bool = False) -> None:
@@ -191,6 +198,10 @@ class Circuit:
             for wd, wires in zip(words, nl.inputs):
                 assert wd.shape == (T, len(wires)), (wd.shape, len(wires))
                 self._plain_arena[:, wires] = wd
+        if self.plaintext_flag and nl.n_dff:
+            if self._state_plain is None:
+                self._state_plain = np.zeros((T, nl.n_dff), dtype=np.int8)
+            self._plain_arena[:, nl.dff_q] = self._state_plain
         if self.encrypted_flag:
             import jax.numpy as jnp
 
@@ -200,20 +211,71 @@ class Circuit:
             for wd, wires in zip(words, nl.inputs):
                 cts = lwe.encrypt_bits(self.sk, wd.reshape(-1), self._rng)
                 arena[wires] = cts.reshape(T, len(wires), p.n + 1).transpose(1, 0, 2)
+            if nl.n_dff and self._state_ct is not None:
+                arena[nl.dff_q] = np.asarray(self._state_ct)
+            # else: zero ciphertexts are valid noiseless encryptions of 0,
+            # the correct initial flip-flop state.
             self._ct_arena = jnp.asarray(arena)
 
     # -- the engine ---------------------------------------------------------
-    def Clock(self, verbose: bool = False) -> None:
+    def Clock(
+        self,
+        verbose: bool = False,
+        checkpoint_path: Optional[str] = None,
+        checkpoint_every: int = 0,
+    ) -> None:
         """Evaluate the whole circuit (the reference's Clock loop,
-        circuit.cpp:532-573, with the level schedule replacing the queues)."""
+        circuit.cpp:532-573, with the level schedule replacing the queues).
+
+        checkpoint_path/_every enable mid-circuit checkpointing (an aux
+        subsystem the reference lacks — it only caches the compiled ``.out``
+        artifact, README.md:29-30): state is saved every N levels and a
+        matching Clock() call resumes from the last saved level.
+        """
         assert self.plan is not None, "ReadFile first"
         if self._done:
             raise RuntimeError("Circuit already evaluated; call Reset (circuit.cpp:538-541)")
         t_start = time.time()
+        exec0 = self.exec_time
+        mode = (
+            "verify"
+            if self.verify_flag
+            else "encrypted" if self.encrypted_flag else "plaintext"
+        )
+        self.trace = Trace(circuit=self.netlist.name, mode=mode)
+        self.trace.begin()
+        start_lv = 0
+        if checkpoint_path is not None:
+            from . import checkpoint as ckpt_mod
+
+            start_lv = ckpt_mod.maybe_resume(self, checkpoint_path)
         for lv, level in enumerate(self.plan.levels):
+            if lv < start_lv:
+                continue
             t0 = time.time()
+            b0 = self._bootstraps_run
             self._run_level(level)
-            self.exec_time += time.time() - t0
+            dt = time.time() - t0
+            self.exec_time += dt
+            self.trace.add(
+                LevelRecord(
+                    level=lv,
+                    boot_gates=len(level["boot_op"]),
+                    linear_gates=len(level["lin_op"]),
+                    batch=self._batch,
+                    wall_s=dt,
+                    bootstraps=self._bootstraps_run - b0,
+                )
+            )
+            if (
+                checkpoint_path is not None
+                and checkpoint_every > 0
+                and (lv + 1) % checkpoint_every == 0
+                and lv + 1 < self.plan.depth
+            ):
+                from . import checkpoint as ckpt_mod
+
+                ckpt_mod.save(self, checkpoint_path, lv + 1)
             if (self.verbose or verbose) and self.plan.depth > 1:
                 print(
                     f"\rProcessing level {lv + 1} of {self.plan.depth}",
@@ -221,11 +283,18 @@ class Circuit:
                     flush=True,
                 )
         self._collect_outputs()
+        nl = self.netlist
+        if nl.n_dff:  # latch D -> state; circuit stays clockable (sequential)
+            if self.plaintext_flag:
+                self._state_plain = self._plain_arena[:, nl.dff_d].copy()
+            if self.encrypted_flag:
+                self._state_ct = self._ct_arena[nl.dff_d]
+        self.trace.end()
         total = time.time() - t_start
-        self.manager_time = total - self.exec_time
-        self._done = True
+        self.manager_time += total - (self.exec_time - exec0)
+        self._done = nl.n_dff == 0
         if self.verbose or verbose:
-            eff = 100.0 * self.exec_time / total if total > 0 else 0.0
+            eff = 100.0 * (self.exec_time - exec0) / total if total > 0 else 0.0
             print(f"### Total time {total * 1e3:.1f} msec, efficiency {eff:.1f}%")
 
     def _run_level(self, level: dict) -> None:
@@ -286,6 +355,7 @@ class Circuit:
             c2 = jnp.concatenate([c2, jnp.zeros((pad, c2.shape[1]), c2.dtype)])
             gids = jnp.concatenate([gids, jnp.zeros((pad,), gids.dtype)])
         out = _jit_gate_batch(self.dkeys, gids, c1, c2)[:B]
+        self._bootstraps_run += B
         out = out.reshape(W, T, -1)
 
         if self.verify_flag:
@@ -327,6 +397,7 @@ class Circuit:
             t1 = jnp.concatenate([t1, jnp.zeros((Bp - B, t1.shape[1]), t1.dtype)])
             t2 = jnp.concatenate([t2, jnp.zeros((Bp - B, t2.shape[1]), t2.dtype)])
         out = _jit_gate_batch(self.dkeys, gids, t1, t2)[:B]
+        self._bootstraps_run += 3 * B
         # XNOR: final linear NOT
         xnor_m = np.repeat(ops == int(Op.XNOR), T)
         if np.any(xnor_m):
