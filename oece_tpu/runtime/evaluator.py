@@ -282,6 +282,14 @@ class Circuit:
                     end="" if lv + 1 < self.plan.depth else "\n",
                     flush=True,
                 )
+        if checkpoint_path is not None:
+            # a checkpoint is crash-recovery state for THIS evaluation; once
+            # it completes, a stale file must not hijack the next Clock()
+            # (sequential circuits re-Clock with the same fingerprint).
+            import os as _os
+
+            if _os.path.exists(checkpoint_path):
+                _os.remove(checkpoint_path)
         self._collect_outputs()
         nl = self.netlist
         if nl.n_dff:  # latch D -> state; circuit stays clockable (sequential)
