@@ -162,3 +162,91 @@ def parse_bristol(path: str, name: str | None = None, fmt: str = "auto") -> Netl
         out=out,
     )
     return nl
+
+
+_EMIT_NAMES = {
+    int(Op.XOR): "XOR",
+    int(Op.AND): "AND",
+    int(Op.OR): "OR",
+    int(Op.NOT): "INV",
+    int(Op.EQW): "EQW",
+    int(Op.NAND): "NAND",
+    int(Op.NOR): "NOR",
+    int(Op.XNOR): "XNOR",
+}
+
+
+def emit_bristol(nl: Netlist, fmt: str = "new") -> str:
+    """Emit a Netlist as a Bristol-fashion circuit file (old or new header).
+
+    The reference only *reads* Bristol files; emission makes generated
+    netlists (circuits/gen.py) interchangeable with the reference corpus.
+    Wires are renumbered to the Bristol convention: inputs are the lowest
+    ids in declaration order, outputs the highest.  EQW copies are appended
+    when an output slot aliases an input wire or repeats another output.
+    Ops beyond the reference's old-fashion set (XOR/AND/INV/EQ/EQW) are
+    emitted with their natural names (OR/NAND/...), which parse_bristol
+    accepts.
+    """
+    if nl.n_dff:
+        raise ValueError("sequential (DFF) netlists have no Bristol form")
+    out_flat = [int(w) for word in nl.outputs for w in word]
+    n_out = len(out_flat)
+
+    input_id: dict[int, int] = {}
+    nxt = 0
+    for word in nl.inputs:
+        for w in word:
+            input_id[int(w)] = nxt
+            nxt += 1
+
+    # the first output slot of each gate-produced output wire is written
+    # directly by its producing gate; aliases/duplicates get EQW copies.
+    prod_slot: dict[int, int] = {}
+    copy_slots: List[int] = []
+    for i, w in enumerate(out_flat):
+        if w not in input_id and w not in prod_slot:
+            prod_slot[w] = i
+        else:
+            copy_slots.append(i)
+
+    internal_ids: dict[int, int] = {}
+    for w in nl.out:
+        w = int(w)
+        if w not in prod_slot:
+            internal_ids[w] = nxt
+            nxt += 1
+    out_base = nxt
+
+    def src(w: int) -> int:
+        if w in input_id:
+            return input_id[w]
+        if w in internal_ids:
+            return internal_ids[w]
+        return out_base + prod_slot[w]
+
+    lines: List[str] = []
+    for o, a, b, w in zip(nl.op, nl.in0, nl.in1, nl.out):
+        o, a, b, w = int(o), int(a), int(b), int(w)
+        dst = out_base + prod_slot[w] if w in prod_slot else internal_ids[w]
+        if o in (int(Op.EQ0), int(Op.EQ1)):
+            lines.append(f"1 1 {1 if o == int(Op.EQ1) else 0} {dst} EQ")
+        elif o in (int(Op.NOT), int(Op.EQW)):
+            lines.append(f"1 1 {src(a)} {dst} {_EMIT_NAMES[o]}")
+        else:
+            lines.append(f"2 1 {src(a)} {src(b)} {dst} {_EMIT_NAMES[o]}")
+    for i in copy_slots:
+        lines.append(f"1 1 {src(out_flat[i])} {out_base + i} EQW")
+
+    n_wires_total = out_base + n_out
+    hdr = [f"{len(lines)} {n_wires_total}"]
+    if fmt == "new":
+        hdr.append(str(len(nl.inputs)) + " " + " ".join(str(b) for b in nl.input_bits))
+        hdr.append(str(len(nl.outputs)) + " " + " ".join(str(b) for b in nl.output_bits))
+    else:
+        ib = nl.input_bits
+        hdr.append(
+            f"{ib[0] if ib else 0} {ib[1] if len(ib) > 1 else 0} "
+            f"{nl.output_bits[0] if nl.outputs else 0}"
+        )
+    return "\n".join(hdr) + "\n\n" + "\n".join(lines) + "\n"
