@@ -371,3 +371,182 @@ def gen_md5_compress() -> Netlist:
             flat += word[8 * byte : 8 * byte + 8][::-1]
     b.output_word(flat)
     return b.build()
+
+
+# ---------------------------------------------------------------------------
+# AES-128 (reference workload TB_aes; circuit generated from the algebraic
+# S-box: GF(2^8) inversion by square-multiply chain + affine map, so the
+# netlist is derived, not transcribed).  Bit convention matches
+# harness/testlib.bits_d: flat MSB-first bitstring (byte i bits at positions
+# 8i..8i+7, MSB first), the convention pinned for the reference AES corpus
+# (test_aes.cpp:184-233).
+# ---------------------------------------------------------------------------
+
+_AES_P = 0x11B
+
+
+def _gfm_int(a: int, b_: int) -> int:
+    r = 0
+    while b_:
+        if b_ & 1:
+            r ^= a
+        a <<= 1
+        if a & 0x100:
+            a ^= _AES_P
+        b_ >>= 1
+    return r
+
+
+def _lin_cols(f) -> List[int]:
+    """Column masks of a GF(2)-linear byte map f: out_j = XOR of in_i where
+    bit j of cols[i] is set."""
+    return [f(1 << i) & 0xFF for i in range(8)]
+
+
+def _aff_int(v: int) -> int:
+    s = 0
+    for i in range(8):
+        bit = (
+            (v >> i) ^ (v >> ((i + 4) % 8)) ^ (v >> ((i + 5) % 8))
+            ^ (v >> ((i + 6) % 8)) ^ (v >> ((i + 7) % 8))
+        ) & 1
+        s |= bit << i
+    return s
+
+
+_SQ_COLS = _lin_cols(lambda v: _gfm_int(v, v))
+_AFF_COLS = _lin_cols(_aff_int)
+# x^k mod P as a byte, for schoolbook-product reduction (k = 0..14)
+_RED = [(_gfm_int(1 << (k - 8), 0x1B) if k >= 8 else 1 << k) for k in range(15)]
+
+
+class _AesOps:
+    """Byte-level circuit ops over LSB-first 8-wire byte lists."""
+
+    def __init__(self, b: Builder):
+        self.b = b
+
+    def xor_tree(self, ws):
+        t = ws[0]
+        for u in ws[1:]:
+            t = self.b.XOR(t, u)
+        return t
+
+    def lin(self, ins, cols, const=0):
+        """ins: wires; cols[i]: output-bit mask of input i; const: XOR byte."""
+        out = []
+        for j in range(8):
+            terms = [w for w, c in zip(ins, cols) if (c >> j) & 1]
+            cb = (const >> j) & 1
+            if not terms:
+                out.append(self.b.const(cb))
+            else:
+                t = self.xor_tree(terms)
+                out.append(self.b.NOT(t) if cb else t)
+        return out
+
+    def xor_const(self, byte, c):
+        return [self.b.NOT(w) if (c >> j) & 1 else w for j, w in enumerate(byte)]
+
+    def byte_xor(self, A, B):
+        return [self.b.XOR(x, y) for x, y in zip(A, B)]
+
+    def gf_mul(self, A, B):
+        """Schoolbook GF(2^8) product: 64 ANDs + XOR trees + reduction."""
+        part: dict = {}
+        for i in range(8):
+            for j in range(8):
+                part.setdefault(i + j, []).append(self.b.AND(A[i], B[j]))
+        out_terms: List[List[int]] = [[] for _ in range(8)]
+        for k, plist in part.items():
+            ck = self.xor_tree(plist)
+            for j in range(8):
+                if (_RED[k] >> j) & 1:
+                    out_terms[j].append(ck)
+        return [self.xor_tree(t) for t in out_terms]
+
+    def gf_sq(self, A):
+        return self.lin(A, _SQ_COLS)
+
+    def inv(self, A):
+        """x^254 by square-multiply: t <- t^2 * x five times from x^3."""
+        t = self.gf_mul(self.gf_sq(A), A)  # x^3
+        for _ in range(5):  # x^7, x^15, x^31, x^63, x^127
+            t = self.gf_mul(self.gf_sq(t), A)
+        return self.gf_sq(t)  # x^254
+
+    def sbox(self, A):
+        return self.lin(self.inv(A), _AFF_COLS, 0x63)
+
+
+def _bytes_from_word(word: List[int], n_bytes: int) -> List[List[int]]:
+    """bits_d word (MSB-first per byte) -> list of LSB-first byte wire lists."""
+    return [word[8 * i : 8 * i + 8][::-1] for i in range(n_bytes)]
+
+
+def _word_from_bytes(bts: List[List[int]]) -> List[int]:
+    out: List[int] = []
+    for byte in bts:
+        out += byte[::-1]
+    return out
+
+
+def gen_aes128(expanded_key: bool = True) -> Netlist:
+    """AES-128 encryption circuit (TB_aes parity: AES-expanded takes a
+    1408-bit pre-expanded key, AES-non-expanded a 128-bit key with the key
+    schedule synthesized in-circuit, test_aes.cpp:184-233)."""
+    b = Builder("gen_aes128_" + ("expanded" if expanded_key else "nonexpanded"))
+    ops = _AesOps(b)
+    pt_w = b.input_word(128)
+    key_w = b.input_word(1408 if expanded_key else 128)
+    state = _bytes_from_word(pt_w, 16)
+
+    if expanded_key:
+        rks = [_bytes_from_word(key_w[128 * r : 128 * (r + 1)], 16) for r in range(11)]
+    else:
+        # in-circuit key schedule (aes128_expand_key parity, models.py:205)
+        w = [_bytes_from_word(key_w, 16)[4 * i : 4 * i + 4] for i in range(4)]
+        rcon = 1
+        for i in range(4, 44):
+            t = [list(x) for x in w[i - 1]]
+            if i % 4 == 0:
+                t = t[1:] + t[:1]
+                t = [ops.sbox(x) for x in t]
+                t[0] = ops.xor_const(t[0], rcon)
+                rcon = _gfm_int(rcon, 2)
+            w.append([ops.byte_xor(a, x) for a, x in zip(w[i - 4], t)])
+        rks = [sum(w[4 * r : 4 * r + 4], []) for r in range(11)]
+
+    def add_rk(s, rk):
+        return [ops.byte_xor(a, k) for a, k in zip(s, rk)]
+
+    def sub(s):
+        return [ops.sbox(x) for x in s]
+
+    def shift_rows(s):
+        out = [None] * 16
+        for r in range(4):
+            for c in range(4):
+                out[r + 4 * c] = s[r + 4 * ((c + r) % 4)]
+        return out
+
+    _MIX = [[2, 3, 1, 1], [1, 2, 3, 1], [1, 1, 2, 3], [3, 1, 1, 2]]
+
+    def mix(s):
+        out = []
+        for c in range(4):
+            col = s[4 * c : 4 * c + 4]
+            flat = sum(col, [])
+            for r in range(4):
+                cols = []
+                for coeff in _MIX[r]:
+                    cols += _lin_cols(lambda v, k=coeff: _gfm_int(v, k))
+                out.append(ops.lin(flat, cols))
+        return out
+
+    state = add_rk(state, rks[0])
+    for rnd in range(1, 10):
+        state = add_rk(mix(shift_rows(sub(state))), rks[rnd])
+    state = add_rk(shift_rows(sub(state)), rks[10])
+    b.output_word(_word_from_bytes(state))
+    return b.build()

@@ -34,9 +34,22 @@ from ..circuits.asm import parse_asm
 from ..runtime.evaluator import Circuit
 from . import models
 
-DEFAULT_CIRCUITS_DIR = os.environ.get(
-    "OECE_CIRCUITS", "/root/reference/examples"
-)
+def _default_circuits_dir() -> str:
+    """Priority: $OECE_CIRCUITS, the generated in-repo corpus
+    (tools/gen_corpus.py), then the reference's data tree if present."""
+    env = os.environ.get("OECE_CIRCUITS")
+    if env:
+        return env
+    here = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "examples",
+    )
+    if os.path.isdir(here):
+        return here
+    return "/root/reference/examples"
+
+
+DEFAULT_CIRCUITS_DIR = _default_circuits_dir()
 
 
 # ---------------------------------------------------------------------------

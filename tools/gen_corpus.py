@@ -1,0 +1,89 @@
+"""Generate the standalone circuit corpus under examples/.
+
+The reference ships ~30 pre-made Bristol/asm data files (SURVEY.md §2.9);
+this framework *generates* the same workload corpus from circuits/gen.py so
+it is fully self-contained (no dependency on the reference tree at runtime).
+KAT sidecars are produced from the FIPS-checked golden models.
+
+Run: python tools/gen_corpus.py [out_dir]   (default: ./examples)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from oece_tpu.circuits import gen
+from oece_tpu.circuits.asm import emit_asm
+from oece_tpu.circuits.bristol import emit_bristol
+from oece_tpu.harness import models
+
+
+def _w(path, text):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(text)
+    print(f"wrote {path}")
+
+
+def _kat_md5(n=4):
+    lines = ["# MD5 compression-function vectors (generated from golden model)"]
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    blocks = [b"\x00" * 64] + [rng.bytes(64) for _ in range(n - 1)]
+    for blk in blocks:
+        lines.append(f"in={blk.hex()}")
+        lines.append(f"out={models.md5_compress(blk).hex()}")
+    return "\n".join(lines) + "\n"
+
+
+def _kat_sha256(n=4):
+    lines = ["# SHA-256 compression-function vectors (generated from golden model)"]
+    import numpy as np
+
+    rng = np.random.default_rng(12)
+    blocks = [b"\x00" * 64] + [rng.bytes(64) for _ in range(n - 1)]
+    for blk in blocks:
+        lines.append(f"in={blk.hex()}")
+        lines.append(f"out={models.sha256_compress(blk).hex()}")
+    return "\n".join(lines) + "\n"
+
+
+def main(root="examples"):
+    # simple_ckts (.out programs; TB_adder_2bit / TB_parity)
+    _w(f"{root}/simple_ckts/adder_2bit/adder_2bit.out", emit_asm(gen.gen_adder(2)))
+    _w(f"{root}/simple_ckts/parity/parity.out", emit_asm(gen.gen_parity(8)))
+
+    # old-Bristol arithmetic
+    arith = f"{root}/old_bristol_ckts/arith"
+    _w(f"{arith}/adder_32bit.txt", emit_bristol(gen.gen_adder(32), "old"))
+    _w(f"{arith}/adder_64bit.txt", emit_bristol(gen.gen_adder(64), "old"))
+    for signed in (False, True):
+        for lteq in (False, True):
+            name = (
+                f"comparator_32bit_{'signed' if signed else 'unsigned'}_"
+                f"{'lteq' if lteq else 'lt'}.txt"
+            )
+            _w(
+                f"{arith}/{name}",
+                emit_bristol(gen.gen_comparator(32, signed, lteq), "old"),
+            )
+    _w(f"{arith}/mult_32x32.txt", emit_bristol(gen.gen_multiplier(32), "old"))
+
+    # old-Bristol crypto
+    crypto = f"{root}/old_bristol_ckts/crypto"
+    _w(f"{crypto}/md5.txt", emit_bristol(gen.gen_md5_compress(), "old"))
+    _w(f"{crypto}/md5-test.txt", _kat_md5())
+    _w(f"{crypto}/sha-256-test.txt", _kat_sha256())
+    _w(f"{crypto}/AES-expanded.txt", emit_bristol(gen.gen_aes128(True), "old"))
+    _w(f"{crypto}/AES-non-expanded.txt", emit_bristol(gen.gen_aes128(False), "old"))
+
+    # new-Bristol crypto (TB_sha256 uses the new-fashion circuit)
+    ncrypto = f"{root}/new_bristol_ckts/crypto"
+    _w(f"{ncrypto}/sha256.txt", emit_bristol(gen.gen_sha256_compress(), "new"))
+    _w(f"{ncrypto}/sha-256-test.txt", _kat_sha256())
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "examples")
