@@ -36,26 +36,6 @@ def timeit(name, fn, *args, reps=3):
     return dt
 
 
-# A. XLA int8 matmul, same FLOPs as the per-step contraction (both chunks)
-A0 = jnp.zeros((B, R * N), jnp.int8)
-W0 = jnp.zeros((R * N, M * N), jnp.int8)
-
-
-@jax.jit
-def scan_xla_mm(A0, W0):
-    def body(carry, _):
-        o = jax.lax.dot_general(
-            carry, W0, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-        )
-        return A0, o[0, :1]
-
-    return jax.lax.scan(body, A0, jnp.arange(p.n))[1]
-
-
-d = timeit("A: XLA int8 matmul same FLOPs", scan_xla_mm, A0, W0)
-flops = 2.0 * B * (R * N) * (M * N) * p.n
-print(f"   sustained {flops/d/1e12:.1f} TOPS", flush=True)
-
 # B. glue pieces
 acc0 = jnp.zeros((B, 2, N), jnp.int32)
 
