@@ -208,18 +208,46 @@ def emit_asm(
     w("# Do not edit the top 3 lines!\n")
     w(f"# generated by oece_tpu from netlist {nl.name!r}\n")
 
-    # wire -> register
+    # Alias map: EQW outputs share their source's register; EQ0/EQ1 outputs
+    # share the synthesized constant registers (pseudo-roots -1/-2).  The
+    # .out format has no const/copy instruction, so constants are lowered to
+    # XOR(r, r) (+ NOT) on the first loaded input register.
+    _CZERO, _CONE = -1, -2
+    alias: dict[int, int] = {}
+
+    def root(wid: int) -> int:
+        while wid in alias:
+            wid = alias[wid]
+        return wid
+
+    has_c0 = has_c1 = False
+    for k in range(nl.n_gates):
+        op = Op(int(nl.op[k]))
+        o = int(nl.out[k])
+        if op == Op.EQW:
+            alias[o] = root(int(nl.in0[k]))
+        elif op == Op.EQ0:
+            alias[o] = _CZERO
+            has_c0 = True
+        elif op == Op.EQ1:
+            alias[o] = _CONE
+            has_c0 = has_c1 = True
+
+    # wire -> register, keyed by root wire only
     wire_reg: dict[int, int] = {}
     free: List[int] = []
     next_reg = 0
-    # last use index per wire (for the improved allocator)
-    last_use = {}
+    # last use index per root (for the improved allocator); aliases merge
+    last_use: dict[int, int] = {}
     for k in range(nl.n_gates):
-        last_use[int(nl.in0[k])] = k
-        last_use[int(nl.in1[k])] = k
+        if Op(int(nl.op[k])) in (Op.EQ0, Op.EQ1):
+            continue  # dummy operands
+        last_use[root(int(nl.in0[k]))] = k
+        last_use[root(int(nl.in1[k]))] = k
     for word in nl.outputs:
         for wid in word:
-            last_use[int(wid)] = nl.n_gates + 1  # outputs live to the end
+            last_use[root(int(wid))] = nl.n_gates + 1  # live to the end
+    last_use[_CZERO] = last_use[_CONE] = nl.n_gates + 1
 
     def alloc() -> int:
         nonlocal next_reg
@@ -229,26 +257,37 @@ def emit_asm(
         next_reg += 1
         return r
 
-    def release(wid: int, k: int):
-        if reuse_registers and last_use.get(wid, -1) <= k and wid in wire_reg:
-            free.append(wire_reg.pop(wid))
+    def release(rwid: int, k: int):
+        if reuse_registers and last_use.get(rwid, -1) <= k and rwid in wire_reg:
+            free.append(wire_reg.pop(rwid))
 
+    first_reg = None
     for i, word in enumerate(nl.inputs, start=1):
         for j, wid in enumerate(word):
             r = alloc()
             wire_reg[int(wid)] = r
+            if first_reg is None:
+                first_reg = r
             w(f"R{r} = LOAD(In{i},{j})\n")
+
+    if has_c0:
+        if first_reg is None:
+            raise ValueError(".out constant lowering needs at least one input bit")
+        rz = alloc()
+        wire_reg[_CZERO] = rz
+        w(f"R{rz} = XOR(R{first_reg}, R{first_reg})\n")
+        if has_c1:
+            ro = alloc()
+            wire_reg[_CONE] = ro
+            w(f"R{ro} = NOT(R{rz})\n")
 
     for k in range(nl.n_gates):
         op = Op(int(nl.op[k]))
-        a = int(nl.in0[k])
-        b = int(nl.in1[k])
+        if op in (Op.EQ0, Op.EQ1, Op.EQW):
+            continue  # pure aliases, resolved above
+        a = root(int(nl.in0[k]))
+        b = root(int(nl.in1[k]))
         o = int(nl.out[k])
-        if op in (Op.EQ0, Op.EQ1):
-            raise NotImplementedError("EQ const gates cannot be emitted as .out")
-        if op == Op.EQW:
-            wire_reg[o] = wire_reg[a]  # pure alias; no instruction in format
-            continue
         ra = wire_reg[a]
         rb = wire_reg[b]
         release(a, k)
@@ -264,7 +303,7 @@ def emit_asm(
     k_out = 0
     for word in nl.outputs:
         for wid in word:
-            w(f"Out{k_out} = STORE(R{wire_reg[int(wid)]})\n")
+            w(f"Out{k_out} = STORE(R{wire_reg[root(int(wid))]})\n")
             k_out += 1
     w(f"# statistics: gates {nl.n_gates} registers {next_reg}\n")
     return buf.getvalue()

@@ -134,6 +134,28 @@ class Builder:
                 c = self.OR(self.AND(a, b), self.AND(axb, c))
         return S, c
 
+    def mux_word(self, sel, A, B):
+        """Per-bit ``sel ? B : A``."""
+        return [self.MUX(sel, a, b) for a, b in zip(A, B)]
+
+    def sub_word(self, A, B) -> tuple:
+        """A - B via A + ~B + 1; returns (diff bits, carry-out).
+
+        carry-out == 1  iff  A >= B  (unsigned)."""
+        one = self.const(1)
+        return self.add_word(A, self.not_word(B), cin=one)
+
+    def neg_word(self, A):
+        """Two's-complement negation ~A + 1 as a ripple increment of ~A:
+        bit 0 is ~a0 ^ 1 = a0; carry chain c = AND(~a_i, c)."""
+        inv = self.not_word(A)
+        S = [A[0]]
+        c = inv[0]
+        for x in inv[1:]:
+            S.append(self.XOR(x, c))
+            c = self.AND(x, c)
+        return S
+
     def rotr_word(self, A, r: int):
         n = len(A)
         return [A[(i + r) % n] for i in range(n)]
@@ -164,12 +186,15 @@ class Builder:
 # ---------------------------------------------------------------------------
 
 
-def gen_adder(width: int) -> Netlist:
+def gen_adder(width: int, carry_out: bool = True) -> Netlist:
+    """Ripple-carry adder.  carry_out=True gives the old-Bristol width+1-bit
+    interface (adder_32bit.txt); False the new-Bristol width-bit one
+    (adder64.txt)."""
     b = Builder(f"gen_adder_{width}")
     A = b.input_word(width)
     B = b.input_word(width)
     S, c = b.add_word(A, B)
-    b.output_word(S + [c])
+    b.output_word(S + [c] if carry_out else S)
     return b.build()
 
 
@@ -226,6 +251,105 @@ def gen_parity(width: int = 8) -> Netlist:
     odd = x
     even = b.NOT(x)
     b.output_word([even, odd])
+    return b.build()
+
+
+# ---------------------------------------------------------------------------
+# New-Bristol arithmetic suite (reference corpus examples/new_bristol_ckts/
+# arith/{adder64,sub64,neg64,zero_equal,mult64,mult2_64,udivide64,divide64}
+# .txt, SURVEY.md §2.9).  Semantics (LSB-first words): out = in1 OP in2.
+# ---------------------------------------------------------------------------
+
+
+def gen_sub(width: int) -> Netlist:
+    """in1 - in2 (two's complement wraparound), width -> width."""
+    b = Builder(f"gen_sub_{width}")
+    A = b.input_word(width)
+    B = b.input_word(width)
+    S, _ = b.sub_word(A, B)
+    b.output_word(S)
+    return b.build()
+
+
+def gen_neg(width: int) -> Netlist:
+    """Two's-complement negation, width -> width (neg64.txt interface)."""
+    b = Builder(f"gen_neg_{width}")
+    A = b.input_word(width)
+    b.output_word(b.neg_word(A))
+    return b.build()
+
+
+def gen_zero_equal(width: int) -> Netlist:
+    """out = (in == 0), width -> 1 (zero_equal.txt interface)."""
+    b = Builder(f"gen_zero_equal_{width}")
+    A = b.input_word(width)
+    t = A[0]
+    for a in A[1:]:
+        t = b.OR(t, a)
+    b.output_word([b.NOT(t)])
+    return b.build()
+
+
+def gen_mult_low(width: int) -> Netlist:
+    """width x width -> width low product (mult64.txt interface): shift-add
+    keeping only the low ``width`` bits."""
+    b = Builder(f"gen_mult_low_{width}")
+    A = b.input_word(width)
+    B = b.input_word(width)
+    zero = b.const(0)
+    acc = [zero] * width
+    for j, bj in enumerate(B):
+        n = width - j
+        partial = [b.AND(A[i], bj) for i in range(n)]
+        S, _ = b.add_word(acc[j:], partial)
+        acc[j:] = S
+    b.output_word(acc)
+    return b.build()
+
+
+def _udiv_core(b: Builder, A, B) -> List[int]:
+    """Restoring-division quotient of unsigned LSB-first words.
+
+    Remainder register R is width+1 bits.  Per step (MSB of A down):
+    R' = (R << 1) | a_i;  q_i = (R' >= B);  R = q_i ? R' - B : R'.
+    With B == 0 every compare succeeds, so quotient = all-ones (and the
+    golden models replicate exactly that, harness/models.py)."""
+    width = len(A)
+    zero = b.const(0)
+    Bx = list(B) + [zero]  # zero-extended divisor
+    R = [zero] * (width + 1)
+    Q = [None] * width
+    for i in range(width - 1, -1, -1):
+        Rp = [A[i]] + R[:-1]  # shift left, bring in dividend bit
+        D, ge = b.sub_word(Rp, Bx)  # carry-out == (Rp >= Bx)
+        Q[i] = ge
+        R = b.mux_word(ge, Rp, D)
+    return Q
+
+
+def gen_udivide(width: int) -> Netlist:
+    """Unsigned quotient in1 / in2 (udivide64.txt interface); /0 -> all-ones."""
+    b = Builder(f"gen_udivide_{width}")
+    A = b.input_word(width)
+    B = b.input_word(width)
+    b.output_word(_udiv_core(b, A, B))
+    return b.build()
+
+
+def gen_divide(width: int) -> Netlist:
+    """Signed quotient in1 / in2, truncated toward zero (divide64.txt
+    interface): |in1| / |in2| unsigned, negated when signs differ.
+    Edge semantics (documented, matched by models.sdiv): /0 gives -1 for
+    in1 >= 0 and +1 for in1 < 0; INT_MIN / -1 wraps to INT_MIN."""
+    b = Builder(f"gen_divide_{width}")
+    A = b.input_word(width)
+    B = b.input_word(width)
+    sa, sb = A[-1], B[-1]
+    Aa = b.mux_word(sa, A, b.neg_word(A))
+    Ba = b.mux_word(sb, B, b.neg_word(B))
+    Q = _udiv_core(b, Aa, Ba)
+    qs = b.XOR(sa, sb)
+    b.output_word(b.mux_word(qs, Q, b.neg_word(Q)))
     return b.build()
 
 

@@ -256,3 +256,30 @@ def aes128_encrypt_with_round_keys(pt: bytes, rks: List[bytes]) -> bytes:
 
 def aes128_encrypt(pt: bytes, key: bytes) -> bytes:
     return aes128_encrypt_with_round_keys(pt, aes128_expand_key(key))
+
+
+# ---------------------------------------------------------------------------
+# Integer division golden models (new-Bristol arith suite, circuits/gen.py
+# gen_udivide / gen_divide; edge semantics documented there)
+# ---------------------------------------------------------------------------
+
+
+def udiv(a: int, b: int, width: int = 64) -> int:
+    """Unsigned quotient; division by zero yields all-ones (the restoring
+    divider's natural behavior: every compare succeeds)."""
+    mask = (1 << width) - 1
+    a, b = a & mask, b & mask
+    return mask if b == 0 else a // b
+
+
+def sdiv(a: int, b: int, width: int = 64) -> int:
+    """Signed quotient truncated toward zero, via |a|/|b| with sign fix —
+    exactly the gen_divide circuit: /0 -> -1 (a>=0) or +1 (a<0);
+    INT_MIN / -1 wraps to INT_MIN."""
+    mask = (1 << width) - 1
+    sa = (a >> (width - 1)) & 1
+    sb = (b >> (width - 1)) & 1
+    aa = ((-a) if sa else a) & mask
+    ab = ((-b) if sb else b) & mask
+    q = udiv(aa, ab, width)
+    return ((-q) if sa ^ sb else q) & mask

@@ -88,6 +88,24 @@ def tb_multipliers(opt):
     return out
 
 
+def tb_arith64(opt):
+    """New-Bristol 64-bit arith suite (corpus-only in the reference —
+    examples/new_bristol_ckts/arith/, SURVEY.md §2.9 — given a real TB here)."""
+    out = []
+    for f in (
+        "adder64.txt",
+        "sub64.txt",
+        "neg64.txt",
+        "zero_equal.txt",
+        "mult64.txt",
+        "mult2_64.txt",
+        "udivide64.txt",
+        "divide64.txt",
+    ):
+        _run(out, tl.test_arith64, f"{R}/new_bristol_ckts/arith/{f}", opt)
+    return out
+
+
 def tb_md5(opt):
     out = []
     _run(out, tl.test_md5, f"{R}/old_bristol_ckts/crypto/md5.txt", opt)
@@ -113,6 +131,7 @@ BENCHES = {
     "adders": tb_adders,
     "comparators": tb_comparators,
     "multipliers": tb_multipliers,
+    "arith64": tb_arith64,
     "md5": tb_md5,
     "sha256": tb_sha256,
     "aes": tb_aes,

@@ -288,6 +288,46 @@ def test_parity(fname: str, num_loops: int = 4, **kw) -> HarnessResult:
     )
 
 
+_ARITH64_MODELS = {
+    # basename fragment -> (n_inputs, golden(a, b, width) -> int result)
+    "adder64": (2, lambda a, b, w: a + b),
+    "sub64": (2, lambda a, b, w: a - b),
+    "neg64": (1, lambda a, b, w: -a),
+    "zero_equal": (1, lambda a, b, w: int(a == 0)),
+    "mult64": (2, lambda a, b, w: a * b),
+    "mult2_64": (2, lambda a, b, w: a * b),
+    "udivide64": (2, lambda a, b, w: models.udiv(a, b, w)),
+    "divide64": (2, lambda a, b, w: models.sdiv(a, b, w)),
+}
+
+
+def test_arith64(fname: str, num_loops: int = 4, **kw) -> HarnessResult:
+    """Generic golden-model harness for the new-Bristol arith suite
+    (adder64/sub64/neg64/zero_equal/mult64/mult2_64/udivide64/divide64;
+    SURVEY.md §2.9), dispatched by filename.  No reference TB covers these —
+    the reference ships them as data only."""
+    base = os.path.basename(fname)
+    key = next((k for k in _ARITH64_MODELS if k in base), None)
+    if key is None:
+        raise ValueError(f"unknown arith64 circuit {base}")
+    n_in, golden = _ARITH64_MODELS[key]
+    nl = _load(fname)
+    w = nl.input_bits[0]
+    wo = nl.output_bits[0]
+    rng = np.random.default_rng(kw.pop("data_seed", 17))
+    a = rng.integers(0, 1 << 64, num_loops, dtype=np.uint64)
+    b = rng.integers(0, 1 << 64, num_loops, dtype=np.uint64)
+    if "divide" in key and num_loops >= 2:
+        b[1] = 0  # pin a division-by-zero case
+    mask = (1 << 64) - 1
+    if key == "zero_equal" and num_loops >= 2:
+        a[1] = 0  # pin the equal-zero case
+    exp_int = [golden(int(x) & mask, int(y) & mask, w) for x, y in zip(a, b)]
+    expected = np.stack([models.int_to_bits(v & ((1 << wo) - 1), wo) for v in exp_int])
+    in_words = [bits_lsb(a, w)] + ([bits_lsb(b, w)] if n_in == 2 else [])
+    return run_harness(f"arith64[{base}]", fname, in_words, [expected], **kw)
+
+
 def _read_kat(path: str) -> List[tuple]:
     """Parse md5-test.txt / sha-256-test.txt sidecar vectors."""
     pairs, cur = [], None

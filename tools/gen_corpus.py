@@ -84,6 +84,17 @@ def main(root="examples"):
     _w(f"{ncrypto}/sha256.txt", emit_bristol(gen.gen_sha256_compress(), "new"))
     _w(f"{ncrypto}/sha-256-test.txt", _kat_sha256())
 
+    # new-Bristol arithmetic suite (SURVEY.md §2.9)
+    narith = f"{root}/new_bristol_ckts/arith"
+    _w(f"{narith}/adder64.txt", emit_bristol(gen.gen_adder(64, carry_out=False), "new"))
+    _w(f"{narith}/sub64.txt", emit_bristol(gen.gen_sub(64), "new"))
+    _w(f"{narith}/neg64.txt", emit_bristol(gen.gen_neg(64), "new"))
+    _w(f"{narith}/zero_equal.txt", emit_bristol(gen.gen_zero_equal(64), "new"))
+    _w(f"{narith}/mult64.txt", emit_bristol(gen.gen_mult_low(64), "new"))
+    _w(f"{narith}/mult2_64.txt", emit_bristol(gen.gen_multiplier(64), "new"))
+    _w(f"{narith}/udivide64.txt", emit_bristol(gen.gen_udivide(64), "new"))
+    _w(f"{narith}/divide64.txt", emit_bristol(gen.gen_divide(64), "new"))
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "examples")
