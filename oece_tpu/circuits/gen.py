@@ -436,6 +436,70 @@ def gen_sha256_compress() -> Netlist:
     return b.build()
 
 
+def gen_sha1_compress() -> Netlist:
+    """SHA-1 compression: 512-bit block -> 160-bit state (fixed IV), the
+    old_bristol_ckts/crypto/sha-1.txt interface (header 512 0 160).
+
+    Bit convention: bits_d (plain MSB-first bitstring of the byte string,
+    like md5); words are big-endian within the block/digest.
+    """
+    b = Builder("gen_sha1")
+    M = b.input_word(512)
+
+    def be_word(flat, j):
+        # bytes 4j..4j+3 big-endian; bits_d gives MSB-first per byte
+        bits: List[int] = []
+        for byte in (3, 2, 1, 0):
+            seg = flat[8 * (4 * j + byte) : 8 * (4 * j + byte) + 8]
+            bits = bits + seg[::-1]  # LSB-first within byte
+        return bits  # LSB-first 32-bit big-endian word
+
+    def rotl(word, r):
+        n = len(word)
+        return [word[(i - r) % n] for i in range(n)]
+
+    from ..harness.models import SHA1_IV
+
+    w = [be_word(M, j) for j in range(16)]
+    for i in range(16, 80):
+        x = [
+            b.XOR(b.XOR(p, q), b.XOR(r, s))
+            for p, q, r, s in zip(w[i - 3], w[i - 8], w[i - 14], w[i - 16])
+        ]
+        w.append(rotl(x, 1))
+
+    iv_words = [_word32(b, v) for v in SHA1_IV]
+    a, bb, c, d, e = iv_words
+    ks = (0x5A827999, 0x6ED9EBA1, 0x8F1BBCDC, 0xCA62C1D6)
+    for i in range(80):
+        if i < 20:  # Ch
+            f = [b.XOR(b.AND(x, y), b.AND(b.NOT(x), z)) for x, y, z in zip(bb, c, d)]
+        elif 40 <= i < 60:  # Maj
+            f = [
+                b.XOR(b.XOR(b.AND(x, y), b.AND(x, z)), b.AND(y, z))
+                for x, y, z in zip(bb, c, d)
+            ]
+        else:  # Parity
+            f = [b.XOR(b.XOR(x, y), z) for x, y, z in zip(bb, c, d)]
+        t, _ = b.add_word(rotl(a, 5), f)
+        t, _ = b.add_word(t, e)
+        t, _ = b.add_word(t, _word32(b, ks[i // 20]))
+        t, _ = b.add_word(t, w[i])
+        e, d, c, bb, a = d, c, rotl(bb, 30), a, t
+
+    outs = []
+    for init, fin in zip(iv_words, (a, bb, c, d, e)):
+        s, _ = b.add_word(init, fin)
+        outs.append(s)
+    # output in bits_d order of the big-endian byte string
+    flat: List[int] = []
+    for word in outs:
+        for byte in (3, 2, 1, 0):
+            flat += word[8 * byte : 8 * byte + 8][::-1]
+    b.output_word(flat)
+    return b.build()
+
+
 def gen_md5_compress() -> Netlist:
     """MD5 compression: 512-bit block -> 128-bit digest (fixed IV), same
     interface as old_bristol_ckts/crypto/md5.txt (bits_d convention: the

@@ -283,3 +283,37 @@ def sdiv(a: int, b: int, width: int = 64) -> int:
     ab = ((-b) if sb else b) & mask
     q = udiv(aa, ab, width)
     return ((-q) if sa ^ sb else q) & mask
+
+
+# ---------------------------------------------------------------------------
+# SHA-1 compression (reference corpus old_bristol_ckts/crypto/sha-1.txt; the
+# reference's sha-1-test.txt is a saved 404 page with no usable vectors —
+# test_sha256.cpp:60 — so vectors here come from this hashlib-checked model)
+# ---------------------------------------------------------------------------
+
+SHA1_IV = (0x67452301, 0xEFCDAB89, 0x98BADCFE, 0x10325476, 0xC3D2E1F0)
+
+
+def _rotl32(x, n):
+    return ((x << n) | (x >> (32 - n))) & 0xFFFFFFFF
+
+
+def sha1_compress(block: bytes, iv=SHA1_IV) -> bytes:
+    assert len(block) == 64
+    w = [int.from_bytes(block[4 * i : 4 * i + 4], "big") for i in range(16)]
+    for i in range(16, 80):
+        w.append(_rotl32(w[i - 3] ^ w[i - 8] ^ w[i - 14] ^ w[i - 16], 1))
+    a, b, c, d, e = iv
+    for i in range(80):
+        if i < 20:
+            f, k = (b & c) | (~b & d), 0x5A827999
+        elif i < 40:
+            f, k = b ^ c ^ d, 0x6ED9EBA1
+        elif i < 60:
+            f, k = (b & c) | (b & d) | (c & d), 0x8F1BBCDC
+        else:
+            f, k = b ^ c ^ d, 0xCA62C1D6
+        t = (_rotl32(a, 5) + f + e + k + w[i]) & 0xFFFFFFFF
+        e, d, c, b, a = d, c, _rotl32(b, 30), a, t
+    out = [(x + y) & 0xFFFFFFFF for x, y in zip(iv, (a, b, c, d, e))]
+    return b"".join(int.to_bytes(x, 4, "big") for x in out)

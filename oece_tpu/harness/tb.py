@@ -112,6 +112,13 @@ def tb_md5(opt):
     return out
 
 
+def tb_sha1(opt):
+    """SHA-1 compression (circuit data-only in the reference; real TB here)."""
+    out = []
+    _run(out, tl.test_sha1, f"{R}/old_bristol_ckts/crypto/sha-1.txt", opt)
+    return out
+
+
 def tb_sha256(opt):
     out = []
     _run(out, tl.test_sha256, f"{R}/new_bristol_ckts/crypto/sha256.txt", opt)
@@ -133,6 +140,7 @@ BENCHES = {
     "multipliers": tb_multipliers,
     "arith64": tb_arith64,
     "md5": tb_md5,
+    "sha1": tb_sha1,
     "sha256": tb_sha256,
     "aes": tb_aes,
 }

@@ -357,6 +357,22 @@ def test_md5(fname: str, num_loops: int = 4, **kw) -> HarnessResult:
     return run_harness(f"md5[{os.path.basename(fname)}]", fname, [inp], [exp], **kw)
 
 
+def test_sha1(fname: str, num_loops: int = 4, **kw) -> HarnessResult:
+    """SHA-1 compression (old-Bristol sha-1.txt interface: 512 -> 160, fixed
+    IV).  The reference ships the circuit but no usable vectors (its
+    sha-1-test.txt is a saved 404 page, test_sha256.cpp:60); vectors here
+    come from the hashlib-checked golden model, md5-style bits_d convention."""
+    kat_path = os.path.join(os.path.dirname(fname), "sha-1-test.txt")
+    blocks = [b for b, _ in _read_kat(kat_path)] if os.path.exists(kat_path) else []
+    rng = np.random.default_rng(kw.pop("data_seed", 8))
+    while len(blocks) < num_loops:
+        blocks.append(rng.bytes(64))
+    blocks = blocks[:num_loops]
+    inp = np.stack([bits_d(b) for b in blocks])
+    exp = np.stack([bits_d(models.sha1_compress(b)) for b in blocks])
+    return run_harness(f"sha1[{os.path.basename(fname)}]", fname, [inp], [exp], **kw)
+
+
 def test_sha256(fname: str, num_loops: int = 4, **kw) -> HarnessResult:
     """SHA-256 compression KATs (sha-256-test.txt, test_sha256.cpp:201-243)
     plus random blocks; new-Bristol circuit takes (block, chaining-state)."""

@@ -154,3 +154,20 @@ def test_param_registry():
     assert TOY.d_g == 4 and TOY.d_ks == 8
     with pytest.raises(ValueError):
         get_params("nope")
+
+
+def test_sha1_golden_vs_hashlib():
+    import hashlib
+
+    from oece_tpu.harness import models
+
+    for msg in (b"", b"abc", b"The quick brown fox jumps over the lazy dog"):
+        pad = msg + b"\x80" + b"\x00" * (55 - len(msg)) + (8 * len(msg)).to_bytes(8, "big")
+        assert models.sha1_compress(pad) == hashlib.sha1(msg).digest()
+
+
+def test_sha1_circuit_plaintext():
+    from oece_tpu.harness.testlib import test_sha1 as run_sha1
+
+    r = run_sha1("examples/old_bristol_ckts/crypto/sha-1.txt", 4, encrypted=False)
+    assert r.passed, r.summary()

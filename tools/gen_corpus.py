@@ -38,6 +38,19 @@ def _kat_md5(n=4):
     return "\n".join(lines) + "\n"
 
 
+def _kat_sha1(n=4):
+    lines = ["# SHA-1 compression-function vectors (generated from golden model;"]
+    lines.append("# the reference's sha-1-test.txt is a saved 404 page with no vectors)")
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    blocks = [b"\x00" * 64] + [rng.bytes(64) for _ in range(n - 1)]
+    for blk in blocks:
+        lines.append(f"in={blk.hex()}")
+        lines.append(f"out={models.sha1_compress(blk).hex()}")
+    return "\n".join(lines) + "\n"
+
+
 def _kat_sha256(n=4):
     lines = ["# SHA-256 compression-function vectors (generated from golden model)"]
     import numpy as np
@@ -76,6 +89,8 @@ def main(root="examples"):
     _w(f"{crypto}/md5.txt", emit_bristol(gen.gen_md5_compress(), "old"))
     _w(f"{crypto}/md5-test.txt", _kat_md5())
     _w(f"{crypto}/sha-256-test.txt", _kat_sha256())
+    _w(f"{crypto}/sha-1.txt", emit_bristol(gen.gen_sha1_compress(), "old"))
+    _w(f"{crypto}/sha-1-test.txt", _kat_sha1())
     _w(f"{crypto}/AES-expanded.txt", emit_bristol(gen.gen_aes128(True), "old"))
     _w(f"{crypto}/AES-non-expanded.txt", emit_bristol(gen.gen_aes128(False), "old"))
 
