@@ -562,6 +562,74 @@ def gen_md5_compress() -> Netlist:
 
 
 # ---------------------------------------------------------------------------
+# DES (reference corpus old_bristol_ckts/crypto/DES-{expanded,non-expanded}
+# .txt, SURVEY.md §2.9).  S-boxes synthesized as 6-input LUTs (Shannon
+# lowering, circuits/lut.py); permutations/expansions/key schedule are pure
+# wiring.  Bit convention: bits_d (FIPS bit 1 = flat[0]).
+# ---------------------------------------------------------------------------
+
+
+def _des_sbox_masks():
+    from ..harness.models import _DES_SBOX
+
+    masks = []  # per sbox: 4 output-bit LUT masks over ins [b6,b5,b4,b3,b2,b1]
+    for s in range(8):
+        m = [0, 0, 0, 0]
+        for v in range(64):
+            b1, b2, b3, b4, b5, b6 = (
+                (v >> 5) & 1, (v >> 4) & 1, (v >> 3) & 1,
+                (v >> 2) & 1, (v >> 1) & 1, v & 1,
+            )
+            val = _DES_SBOX[s][2 * b1 + b6][8 * b2 + 4 * b3 + 2 * b4 + b5]
+            for j in range(4):  # output bit j is MSB-first (FIPS order)
+                m[j] |= ((val >> (3 - j)) & 1) << v
+        masks.append(m)
+    return masks
+
+
+def gen_des(expanded_key: bool = True) -> Netlist:
+    """DES encryption (DES-expanded: 64-bit block + 768-bit round-key
+    vector; DES-non-expanded: 64-bit block + 64-bit key with the FIPS 46-3
+    key schedule as wiring).  Verified against models.des_encrypt."""
+    from ..harness.models import (
+        _DES_E, _DES_FP, _DES_IP, _DES_P, _DES_PC1, _DES_PC2, _DES_SHIFTS,
+    )
+
+    b = Builder("gen_des_" + ("expanded" if expanded_key else "nonexpanded"))
+    pt = b.input_word(64)
+    key = b.input_word(768 if expanded_key else 64)
+
+    def perm(bits, table):
+        return [bits[i - 1] for i in table]
+
+    if expanded_key:
+        rks = [key[48 * r : 48 * (r + 1)] for r in range(16)]
+    else:
+        cd = perm(key, _DES_PC1)
+        c, d = cd[:28], cd[28:]
+        rks = []
+        for s in _DES_SHIFTS:
+            c = c[s:] + c[:s]
+            d = d[s:] + d[:s]
+            rks.append(perm(c + d, _DES_PC2))
+
+    masks = _des_sbox_masks()
+    bits = perm(pt, _DES_IP)
+    l, r = bits[:32], bits[32:]
+    for rk in rks:
+        x = b.xor_word(perm(r, _DES_E), rk)
+        sout: List[int] = []
+        for s in range(8):
+            b6 = x[6 * s : 6 * s + 6]
+            ins = b6[::-1]  # LUT index LSB-first = [b6,b5,b4,b3,b2,b1]
+            sout += [b.LUT(masks[s][j], ins) for j in range(4)]
+        f = perm(sout, _DES_P)
+        l, r = r, b.xor_word(l, f)
+    b.output_word(perm(r + l, _DES_FP))
+    return b.build()
+
+
+# ---------------------------------------------------------------------------
 # AES-128 (reference workload TB_aes; circuit generated from the algebraic
 # S-box: GF(2^8) inversion by square-multiply chain + affine map, so the
 # netlist is derived, not transcribed).  Bit convention matches

@@ -125,6 +125,14 @@ def tb_sha256(opt):
     return out
 
 
+def tb_des(opt):
+    """DES expanded/non-expanded (circuit data-only in the reference)."""
+    out = []
+    for f in ("DES-expanded.txt", "DES-non-expanded.txt"):
+        _run(out, tl.test_des, f"{R}/old_bristol_ckts/crypto/{f}", opt)
+    return out
+
+
 def tb_aes(opt):
     out = []
     for f in ("AES-expanded.txt", "AES-non-expanded.txt"):
@@ -143,6 +151,7 @@ BENCHES = {
     "sha1": tb_sha1,
     "sha256": tb_sha256,
     "aes": tb_aes,
+    "des": tb_des,
 }
 
 

@@ -357,6 +357,30 @@ def test_md5(fname: str, num_loops: int = 4, **kw) -> HarnessResult:
     return run_harness(f"md5[{os.path.basename(fname)}]", fname, [inp], [exp], **kw)
 
 
+def test_des(fname: str, num_loops: int = 2, **kw) -> HarnessResult:
+    """DES: expanded (pt + 768-bit round keys) or non-expanded (pt + 64-bit
+    key) selected by filename, against the FIPS-46-3-checked golden model
+    (models.des_encrypt).  Circuit data-only in the reference; real TB here.
+    First vector is the classic FIPS pair 0123456789ABCDEF/133457799BBCDFF1."""
+    expanded = "non-expanded" not in fname and "expanded" in fname
+    rng = np.random.default_rng(kw.pop("data_seed", 14))
+    pts = [bytes.fromhex("0123456789ABCDEF")]
+    keys = [bytes.fromhex("133457799BBCDFF1")]
+    while len(pts) < num_loops:
+        pts.append(rng.bytes(8))
+        keys.append(rng.bytes(8))
+    pts, keys = pts[:num_loops], keys[:num_loops]
+    exp = np.stack([bits_d(models.des_encrypt(p, k)) for p, k in zip(pts, keys)])
+    inp_pt = np.stack([bits_d(p) for p in pts])
+    if expanded:
+        inp_k = np.stack([bits_d(b"".join(models.des_expand_key(k))) for k in keys])
+    else:
+        inp_k = np.stack([bits_d(k) for k in keys])
+    return run_harness(
+        f"des[{os.path.basename(fname)}]", fname, [inp_pt, inp_k], [exp], **kw
+    )
+
+
 def test_sha1(fname: str, num_loops: int = 4, **kw) -> HarnessResult:
     """SHA-1 compression (old-Bristol sha-1.txt interface: 512 -> 160, fixed
     IV).  The reference ships the circuit but no usable vectors (its

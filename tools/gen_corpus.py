@@ -91,6 +91,8 @@ def main(root="examples"):
     _w(f"{crypto}/sha-256-test.txt", _kat_sha256())
     _w(f"{crypto}/sha-1.txt", emit_bristol(gen.gen_sha1_compress(), "old"))
     _w(f"{crypto}/sha-1-test.txt", _kat_sha1())
+    _w(f"{crypto}/DES-expanded.txt", emit_bristol(gen.gen_des(True), "old"))
+    _w(f"{crypto}/DES-non-expanded.txt", emit_bristol(gen.gen_des(False), "old"))
     _w(f"{crypto}/AES-expanded.txt", emit_bristol(gen.gen_aes128(True), "old"))
     _w(f"{crypto}/AES-non-expanded.txt", emit_bristol(gen.gen_aes128(False), "old"))
 
