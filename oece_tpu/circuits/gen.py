@@ -747,31 +747,28 @@ def _word_from_bytes(bts: List[List[int]]) -> List[int]:
     return out
 
 
-def gen_aes128(expanded_key: bool = True) -> Netlist:
-    """AES-128 encryption circuit (TB_aes parity: AES-expanded takes a
-    1408-bit pre-expanded key, AES-non-expanded a 128-bit key with the key
-    schedule synthesized in-circuit, test_aes.cpp:184-233)."""
-    b = Builder("gen_aes128_" + ("expanded" if expanded_key else "nonexpanded"))
-    ops = _AesOps(b)
-    pt_w = b.input_word(128)
-    key_w = b.input_word(1408 if expanded_key else 128)
-    state = _bytes_from_word(pt_w, 16)
+def _aes_schedule(ops: "_AesOps", kbytes, nk: int, nr: int):
+    """In-circuit FIPS-197 key schedule (aes_expand_key parity, models.py)."""
+    w = [kbytes[4 * i : 4 * i + 4] for i in range(nk)]
+    rcon = 1
+    for i in range(nk, 4 * (nr + 1)):
+        t = [list(x) for x in w[i - 1]]
+        if i % nk == 0:
+            t = t[1:] + t[:1]
+            t = [ops.sbox(x) for x in t]
+            t[0] = ops.xor_const(t[0], rcon)
+            rcon = _gfm_int(rcon, 2)
+        elif nk > 6 and i % nk == 4:
+            t = [ops.sbox(x) for x in t]
+        w.append([ops.byte_xor(a, x) for a, x in zip(w[i - nk], t)])
+    return [sum(w[4 * r : 4 * r + 4], []) for r in range(nr + 1)]
 
-    if expanded_key:
-        rks = [_bytes_from_word(key_w[128 * r : 128 * (r + 1)], 16) for r in range(11)]
-    else:
-        # in-circuit key schedule (aes128_expand_key parity, models.py:205)
-        w = [_bytes_from_word(key_w, 16)[4 * i : 4 * i + 4] for i in range(4)]
-        rcon = 1
-        for i in range(4, 44):
-            t = [list(x) for x in w[i - 1]]
-            if i % 4 == 0:
-                t = t[1:] + t[:1]
-                t = [ops.sbox(x) for x in t]
-                t[0] = ops.xor_const(t[0], rcon)
-                rcon = _gfm_int(rcon, 2)
-            w.append([ops.byte_xor(a, x) for a, x in zip(w[i - 4], t)])
-        rks = [sum(w[4 * r : 4 * r + 4], []) for r in range(11)]
+
+_MIX = [[2, 3, 1, 1], [1, 2, 3, 1], [1, 1, 2, 3], [3, 1, 1, 2]]
+
+
+def _aes_rounds(ops: "_AesOps", state, rks):
+    """The Nr-round AES data path on a 16-byte wire state."""
 
     def add_rk(s, rk):
         return [ops.byte_xor(a, k) for a, k in zip(s, rk)]
@@ -786,8 +783,6 @@ def gen_aes128(expanded_key: bool = True) -> Netlist:
                 out[r + 4 * c] = s[r + 4 * ((c + r) % 4)]
         return out
 
-    _MIX = [[2, 3, 1, 1], [1, 2, 3, 1], [1, 1, 2, 3], [3, 1, 1, 2]]
-
     def mix(s):
         out = []
         for c in range(4):
@@ -800,9 +795,42 @@ def gen_aes128(expanded_key: bool = True) -> Netlist:
                 out.append(ops.lin(flat, cols))
         return out
 
+    nr = len(rks) - 1
     state = add_rk(state, rks[0])
-    for rnd in range(1, 10):
+    for rnd in range(1, nr):
         state = add_rk(mix(shift_rows(sub(state))), rks[rnd])
-    state = add_rk(shift_rows(sub(state)), rks[10])
-    b.output_word(_word_from_bytes(state))
+    return add_rk(shift_rows(sub(state)), rks[nr])
+
+
+def gen_aes128(expanded_key: bool = True) -> Netlist:
+    """AES-128 encryption circuit (TB_aes parity: AES-expanded takes a
+    1408-bit pre-expanded key, AES-non-expanded a 128-bit key with the key
+    schedule synthesized in-circuit, test_aes.cpp:184-233)."""
+    b = Builder("gen_aes128_" + ("expanded" if expanded_key else "nonexpanded"))
+    ops = _AesOps(b)
+    pt_w = b.input_word(128)
+    key_w = b.input_word(1408 if expanded_key else 128)
+    state = _bytes_from_word(pt_w, 16)
+    if expanded_key:
+        rks = [_bytes_from_word(key_w[128 * r : 128 * (r + 1)], 16) for r in range(11)]
+    else:
+        rks = _aes_schedule(ops, _bytes_from_word(key_w, 16), 4, 10)
+    b.output_word(_word_from_bytes(_aes_rounds(ops, state, rks)))
+    return b.build()
+
+
+def gen_aes(key_bits: int) -> Netlist:
+    """AES-128/192/256 with the new-Bristol corpus interface
+    (new_bristol_ckts/crypto/aes_{128,192,256}.txt headers: in1 = key,
+    in2 = 128-bit block, out = 128-bit ciphertext; SURVEY.md §2.9), key
+    schedule in-circuit, bits_d convention.  Matches models.aes_encrypt."""
+    assert key_bits in (128, 192, 256)
+    nk = key_bits // 32
+    b = Builder(f"gen_aes_{key_bits}")
+    ops = _AesOps(b)
+    key_w = b.input_word(key_bits)
+    pt_w = b.input_word(128)
+    rks = _aes_schedule(ops, _bytes_from_word(key_w, key_bits // 8), nk, nk + 6)
+    state = _bytes_from_word(pt_w, 16)
+    b.output_word(_word_from_bytes(_aes_rounds(ops, state, rks)))
     return b.build()

@@ -202,19 +202,30 @@ def _gf_mul(a, b):
     return r
 
 
-def aes128_expand_key(key: bytes) -> List[bytes]:
+def aes_expand_key(key: bytes) -> List[bytes]:
+    """FIPS-197 key schedule for Nk in {4, 6, 8} (AES-128/192/256):
+    4*(Nr+1) words -> Nr+1 16-byte round keys."""
     sbox = _aes_sbox()
+    nk = len(key) // 4
+    assert nk in (4, 6, 8), f"bad AES key length {len(key)}"
+    nr = nk + 6
+    w = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
     rcon = 1
-    w = [list(key[4 * i : 4 * i + 4]) for i in range(4)]
-    for i in range(4, 44):
+    for i in range(nk, 4 * (nr + 1)):
         t = list(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [sbox[x] for x in t]
             t[0] ^= rcon
             rcon = _gf_mul(rcon, 2)
-        w.append([a ^ b for a, b in zip(w[i - 4], t)])
-    return [bytes(sum(w[4 * r : 4 * r + 4], [])) for r in range(11)]
+        elif nk > 6 and i % nk == 4:
+            t = [sbox[x] for x in t]
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
+    return [bytes(sum(w[4 * r : 4 * r + 4], [])) for r in range(nr + 1)]
+
+
+def aes128_expand_key(key: bytes) -> List[bytes]:
+    return aes_expand_key(key)
 
 
 def aes128_encrypt_with_round_keys(pt: bytes, rks: List[bytes]) -> bytes:
@@ -245,17 +256,23 @@ def aes128_encrypt_with_round_keys(pt: bytes, rks: List[bytes]) -> bytes:
             out[4 * c + 3] = _gf_mul(col[0], 3) ^ col[1] ^ col[2] ^ _gf_mul(col[3], 2)
         return out
 
+    nr = len(rks) - 1
     s = add_rk(s, rks[0])
-    for rnd in range(1, 10):
+    for rnd in range(1, nr):
         s = mix(shift_rows(sub(s)))
         s = add_rk(s, rks[rnd])
     s = shift_rows(sub(s))
-    s = add_rk(s, rks[10])
+    s = add_rk(s, rks[nr])
     return bytes(s)
 
 
 def aes128_encrypt(pt: bytes, key: bytes) -> bytes:
     return aes128_encrypt_with_round_keys(pt, aes128_expand_key(key))
+
+
+def aes_encrypt(pt: bytes, key: bytes) -> bytes:
+    """AES-128/192/256 by key length (FIPS-197-checked, tests/test_golden)."""
+    return aes128_encrypt_with_round_keys(pt, aes_expand_key(key))
 
 
 # ---------------------------------------------------------------------------

@@ -125,6 +125,14 @@ def tb_sha256(opt):
     return out
 
 
+def tb_aes_sizes(opt):
+    """New-Bristol AES-128/192/256 (data-only in the reference; real TB here)."""
+    out = []
+    for f in ("aes_128.txt", "aes_192.txt", "aes_256.txt"):
+        _run(out, tl.test_aes_new, f"{R}/new_bristol_ckts/crypto/{f}", opt)
+    return out
+
+
 def tb_des(opt):
     """DES expanded/non-expanded (circuit data-only in the reference)."""
     out = []
@@ -152,6 +160,7 @@ BENCHES = {
     "sha256": tb_sha256,
     "aes": tb_aes,
     "des": tb_des,
+    "aes_sizes": tb_aes_sizes,
 }
 
 

@@ -357,6 +357,28 @@ def test_md5(fname: str, num_loops: int = 4, **kw) -> HarnessResult:
     return run_harness(f"md5[{os.path.basename(fname)}]", fname, [inp], [exp], **kw)
 
 
+def test_aes_new(fname: str, num_loops: int = 2, **kw) -> HarnessResult:
+    """New-Bristol AES trio (aes_{128,192,256}.txt: in1 = key, in2 = block;
+    data-only in the reference).  Key size from the circuit header; first
+    vector is the FIPS-197 example for that size."""
+    nl = _load(fname)
+    kbits = nl.input_bits[0]
+    assert kbits in (128, 192, 256), f"unexpected AES key width {kbits}"
+    rng = np.random.default_rng(kw.pop("data_seed", 15))
+    pts = [bytes.fromhex("00112233445566778899aabbccddeeff")]
+    keys = [bytes(range(kbits // 8))]
+    while len(pts) < num_loops:
+        pts.append(rng.bytes(16))
+        keys.append(rng.bytes(kbits // 8))
+    pts, keys = pts[:num_loops], keys[:num_loops]
+    exp = np.stack([bits_d(models.aes_encrypt(p, k)) for p, k in zip(pts, keys)])
+    inp_k = np.stack([bits_d(k) for k in keys])
+    inp_pt = np.stack([bits_d(p) for p in pts])
+    return run_harness(
+        f"aes[{os.path.basename(fname)}]", fname, [inp_k, inp_pt], [exp], **kw
+    )
+
+
 def test_des(fname: str, num_loops: int = 2, **kw) -> HarnessResult:
     """DES: expanded (pt + 768-bit round keys) or non-expanded (pt + 64-bit
     key) selected by filename, against the FIPS-46-3-checked golden model

@@ -171,3 +171,22 @@ def test_sha1_circuit_plaintext():
 
     r = run_sha1("examples/old_bristol_ckts/crypto/sha-1.txt", 4, encrypted=False)
     assert r.passed, r.summary()
+
+
+def test_aes_fips197_all_sizes():
+    from oece_tpu.harness import models
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    assert models.aes_encrypt(pt, bytes(range(16))).hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    assert models.aes_encrypt(pt, bytes(range(24))).hex() == "dda97ca4864cdfe06eaf70a0ec0d7191"
+    assert models.aes_encrypt(pt, bytes(range(32))).hex() == "8ea2b7ca516745bfeafc49904b496089"
+
+
+@pytest.mark.parametrize("kb", [128, 192, 256])
+def test_aes_new_circuit_plaintext(kb):
+    from oece_tpu.harness.testlib import test_aes_new as run_aes_new
+
+    r = run_aes_new(
+        f"examples/new_bristol_ckts/crypto/aes_{kb}.txt", 2, encrypted=False
+    )
+    assert r.passed, r.summary()

@@ -100,6 +100,8 @@ def main(root="examples"):
     ncrypto = f"{root}/new_bristol_ckts/crypto"
     _w(f"{ncrypto}/sha256.txt", emit_bristol(gen.gen_sha256_compress(), "new"))
     _w(f"{ncrypto}/sha-256-test.txt", _kat_sha256())
+    for kb in (128, 192, 256):
+        _w(f"{ncrypto}/aes_{kb}.txt", emit_bristol(gen.gen_aes(kb), "new"))
 
     # new-Bristol arithmetic suite (SURVEY.md §2.9)
     narith = f"{root}/new_bristol_ckts/arith"
