@@ -483,3 +483,191 @@ def des_encrypt_with_round_keys(pt: bytes, rks: list) -> bytes:
 
 def des_encrypt(pt: bytes, key: bytes) -> bytes:
     return des_encrypt_with_round_keys(pt, des_expand_key(key))
+
+
+# ---------------------------------------------------------------------------
+# IEEE-754 binary64 golden models (reference corpus new_bristol_ckts/fp/
+# FP-{add,mul,eq,f2i}.txt, SURVEY.md §2.9 — data-only there, no TB, no
+# vectors).  Exact integer-arithmetic spec, round-to-nearest-even, full
+# subnormal/inf support; every NaN result is the canonical quiet NaN
+# 0x7FF8000000000000 (tests validate against the host FPU modulo NaN
+# canonicalization, tests/test_fp.py).
+# ---------------------------------------------------------------------------
+
+_QNAN = 0x7FF8000000000000
+_F64_MASK = (1 << 64) - 1
+
+
+def _f64_fields(x: int):
+    return (x >> 63) & 1, (x >> 52) & 0x7FF, x & ((1 << 52) - 1)
+
+
+def _f64_is_nan(x: int) -> bool:
+    s, e, m = _f64_fields(x)
+    return e == 0x7FF and m != 0
+
+
+def _f64_is_inf(x: int) -> bool:
+    s, e, m = _f64_fields(x)
+    return e == 0x7FF and m == 0
+
+
+def _f64_sig_exp(x: int):
+    """(significand, exponent of its LSB): value = sig * 2^exp; sig < 2^53."""
+    s, e, m = _f64_fields(x)
+    if e == 0:
+        return m, -1074
+    return m | (1 << 52), e - 1075
+
+
+def _round_pack(sign: int, num: int, d: int) -> int:
+    """Round-to-nearest-even packing of the exact value (+/-) num * 2^-d,
+    num > 0, into a binary64 pattern (handles subnormal/overflow)."""
+    # biased exponent of the leading bit
+    eb = (num.bit_length() - 1) - d + 1023
+    if eb >= 1:
+        # normal candidate: mantissa = round(num / 2^(lead-52))
+        shift = num.bit_length() - 53
+    else:
+        # subnormal: fixed scale 2^-1074 => round(num * 2^(1074-d))
+        shift = -(1074 - d)
+    if shift <= 0:
+        m = num << -shift
+    else:
+        q, r = num >> shift, num & ((1 << shift) - 1)
+        half = 1 << (shift - 1)
+        m = q + (1 if (r > half or (r == half and (q & 1))) else 0)
+    if eb >= 1:
+        if m == 1 << 53:  # rounding carried out
+            m >>= 1
+            eb += 1
+        if eb >= 2047:
+            return (sign << 63) | (0x7FF << 52)  # overflow -> inf
+        return (sign << 63) | (eb << 52) | (m & ((1 << 52) - 1))
+    # subnormal path: m < 2^52 stays subnormal; m == 2^52 promotes, and the
+    # packed integer add handles that seamlessly
+    return (sign << 63) | m
+
+
+def fp_add(a: int, b: int) -> int:
+    """bit64 + bit64 -> bit64, IEEE-754 RNE."""
+    if _f64_is_nan(a) or _f64_is_nan(b):
+        return _QNAN
+    sa, ea, ma = _f64_fields(a)
+    sb, eb, mb = _f64_fields(b)
+    if _f64_is_inf(a) or _f64_is_inf(b):
+        if _f64_is_inf(a) and _f64_is_inf(b) and sa != sb:
+            return _QNAN
+        return a if _f64_is_inf(a) else b
+    fa, xa = _f64_sig_exp(a)
+    fb, xb = _f64_sig_exp(b)
+    d = -min(xa, xb)
+    num = (fa << (xa + d)) * (-1 if sa else 1) + (fb << (xb + d)) * (-1 if sb else 1)
+    if num == 0:
+        # exact cancellation -> +0, except (-0) + (-0) = -0
+        return (1 << 63) if (sa and sb) else 0
+    sign = 1 if num < 0 else 0
+    return _round_pack(sign, abs(num), d)
+
+
+def fp_mul(a: int, b: int) -> int:
+    """bit64 * bit64 -> bit64, IEEE-754 RNE."""
+    if _f64_is_nan(a) or _f64_is_nan(b):
+        return _QNAN
+    sa, ea, ma = _f64_fields(a)
+    sb, eb, mb = _f64_fields(b)
+    sign = sa ^ sb
+    fa, xa = _f64_sig_exp(a)
+    fb, xb = _f64_sig_exp(b)
+    if _f64_is_inf(a) or _f64_is_inf(b):
+        if (not _f64_is_inf(a) and fa == 0) or (not _f64_is_inf(b) and fb == 0):
+            return _QNAN  # inf * 0
+        return (sign << 63) | (0x7FF << 52)
+    num = fa * fb
+    if num == 0:
+        return sign << 63
+    return _round_pack(sign, num, -(xa + xb))
+
+
+def fp_eq(a: int, b: int) -> int:
+    """IEEE equality: bit-equal or both zeros; NaN != anything.  Returns the
+    64-bit word the FP-eq.txt interface carries (result in bit 0)."""
+    if _f64_is_nan(a) or _f64_is_nan(b):
+        return 0
+    if (a & ~(1 << 63) & _F64_MASK) == 0 and (b & ~(1 << 63) & _F64_MASK) == 0:
+        return 1  # +-0 == +-0
+    return int(a == b)
+
+
+_F2I_INDEF = 1 << 63
+
+
+def fp_f2i(a: int) -> int:
+    """double -> int64, truncation toward zero (x86 cvttsd2si semantics:
+    NaN/inf/out-of-range -> 0x8000000000000000)."""
+    if _f64_is_nan(a) or _f64_is_inf(a):
+        return _F2I_INDEF
+    sa, ea, ma = _f64_fields(a)
+    s = ea - 1023
+    if s < 0:
+        return 0  # |v| < 1 truncates to 0 (subnormals included)
+    if s >= 63:
+        return _F2I_INDEF  # covers -2^63 exactly, whose pattern coincides
+    f = ma | (1 << 52)
+    v = (f << (s - 52)) if s >= 52 else (f >> (52 - s))
+    return (-v if sa else v) & _F64_MASK
+
+
+def fp_div(a: int, b: int) -> int:
+    """bit64 / bit64 -> bit64, IEEE-754 RNE (FP-div.txt is a missing blob in
+    the reference; provided here)."""
+    if _f64_is_nan(a) or _f64_is_nan(b):
+        return _QNAN
+    sa, ea, ma = _f64_fields(a)
+    sb, eb, mb = _f64_fields(b)
+    sign = sa ^ sb
+    ia, ib = _f64_is_inf(a), _f64_is_inf(b)
+    fa, xa = _f64_sig_exp(a)
+    fb, xb = _f64_sig_exp(b)
+    if ia or ib:
+        if ia and ib:
+            return _QNAN
+        return (sign << 63) | ((0x7FF << 52) if ia else 0)
+    if fb == 0:
+        return _QNAN if fa == 0 else (sign << 63) | (0x7FF << 52)  # 0/0 | x/0
+    if fa == 0:
+        return sign << 63
+    # exact quotient as fraction: fa*2^xa / (fb*2^xb); scale numerator so the
+    # integer quotient has >= 56 bits, then fold the remainder into sticky
+    k = 120
+    q, r = divmod(fa << k, fb)
+    num = (q << 1) | (1 if r else 0)
+    return _round_pack(sign, num, -(xa - xb - k - 1))
+
+
+def fp_sqrt(a: int) -> int:
+    """sqrt(bit64) -> bit64, IEEE-754 RNE (FP-sqrt.txt is a missing blob in
+    the reference; provided here).  sqrt(-x) = qNaN, sqrt(-0) = -0."""
+    if _f64_is_nan(a):
+        return _QNAN
+    sa, ea, ma = _f64_fields(a)
+    fa, xa = _f64_sig_exp(a)
+    if fa == 0:
+        return sa << 63  # +-0
+    if sa:
+        return _QNAN
+    if _f64_is_inf(a):
+        return a
+    # value = fa * 2^xa; make exponent even, take integer sqrt of
+    # fa << (xa - e2) with enough precision, sticky from inexactness
+    k = 120
+    e2 = xa - k
+    if e2 & 1:
+        e2 -= 1
+    m = fa << (xa - e2)
+    import math
+
+    s = math.isqrt(m)
+    num = (s << 1) | (1 if s * s != m else 0)
+    # value = s * 2^(e2/2) = num * 2^(e2/2 - 1)
+    return _round_pack(0, num, 1 - e2 // 2)
