@@ -133,6 +133,16 @@ def tb_aes_sizes(opt):
     return out
 
 
+def tb_fp(opt):
+    """IEEE-754 binary64 suite (FP-div/FP-sqrt are missing blobs in the
+    reference corpus; generated here)."""
+    out = []
+    for f in ("FP-add.txt", "FP-mul.txt", "FP-div.txt", "FP-sqrt.txt",
+              "FP-eq.txt", "FP-f2i.txt"):
+        _run(out, tl.test_fp, f"{R}/new_bristol_ckts/fp/{f}", opt)
+    return out
+
+
 def tb_des(opt):
     """DES expanded/non-expanded (circuit data-only in the reference)."""
     out = []
@@ -161,6 +171,7 @@ BENCHES = {
     "aes": tb_aes,
     "des": tb_des,
     "aes_sizes": tb_aes_sizes,
+    "fp": tb_fp,
 }
 
 

@@ -357,6 +357,55 @@ def test_md5(fname: str, num_loops: int = 4, **kw) -> HarnessResult:
     return run_harness(f"md5[{os.path.basename(fname)}]", fname, [inp], [exp], **kw)
 
 
+_FP_MODELS = {
+    "FP-add": (2, lambda a, b: models.fp_add(a, b)),
+    "FP-mul": (2, lambda a, b: models.fp_mul(a, b)),
+    "FP-div": (2, lambda a, b: models.fp_div(a, b)),
+    "FP-sqrt": (1, lambda a, b: models.fp_sqrt(a)),
+    "FP-eq": (2, lambda a, b: models.fp_eq(a, b)),
+    "FP-f2i": (1, lambda a, b: models.fp_f2i(a)),
+}
+
+
+def _fp_operands(num_loops: int, seed: int) -> np.ndarray:
+    """Deterministic binary64 operand mix: IEEE specials first, then random
+    bit patterns (dense NaN/inf/subnormal coverage), then random normals."""
+    import struct
+
+    def f2b(f):
+        return struct.unpack("<Q", struct.pack("<d", f))[0]
+
+    specials = [0.0, -0.0, 1.0, -1.0, float("inf"), -float("inf"), float("nan"),
+                5e-324, 1e-310, 1.7976931348623157e308, 0.5, -2.5]
+    vals = [f2b(v) for v in specials]
+    rng = np.random.default_rng(seed)
+    need = max(0, 2 * num_loops - len(vals))
+    vals += [int(x) for x in rng.integers(0, 1 << 64, need // 2 + 1, dtype=np.uint64)]
+    vals += [f2b(float(x)) for x in rng.normal(0, 1e3, need // 2 + 1)]
+    return np.array(vals[: 2 * num_loops], dtype=np.uint64)
+
+
+def test_fp(fname: str, num_loops: int = 4, **kw) -> HarnessResult:
+    """IEEE-754 binary64 family (new_bristol_ckts/fp/FP-*.txt; data-only in
+    the reference, with FP-div/FP-sqrt missing blobs — all six generated and
+    golden-checked here).  Operands include NaN/inf/subnormal cases."""
+    base = os.path.basename(fname)
+    key = next((k for k in _FP_MODELS if k in base), None)
+    if key is None:
+        raise ValueError(f"unknown FP circuit {base}")
+    n_in, golden = _FP_MODELS[key]
+    ops = _fp_operands(num_loops, kw.pop("data_seed", 21))
+    a, b = ops[0::2][:num_loops], ops[1::2][:num_loops]
+    if key == "FP-sqrt":
+        a = np.abs(a.view(np.int64)).view(np.uint64)  # mostly non-negative
+        a[0] = 0x4010000000000000  # sqrt(4) = 2
+    mask = (1 << 64) - 1
+    exp_int = [golden(int(x), int(y)) & mask for x, y in zip(a, b)]
+    expected = np.stack([models.int_to_bits(v, 64) for v in exp_int])
+    in_words = [bits_lsb(a, 64)] + ([bits_lsb(b, 64)] if n_in == 2 else [])
+    return run_harness(f"fp[{base}]", fname, in_words, [expected], **kw)
+
+
 def test_aes_new(fname: str, num_loops: int = 2, **kw) -> HarnessResult:
     """New-Bristol AES trio (aes_{128,192,256}.txt: in1 = key, in2 = block;
     data-only in the reference).  Key size from the circuit header; first

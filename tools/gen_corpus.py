@@ -103,6 +103,18 @@ def main(root="examples"):
     for kb in (128, 192, 256):
         _w(f"{ncrypto}/aes_{kb}.txt", emit_bristol(gen.gen_aes(kb), "new"))
 
+    # new-Bristol IEEE-754 binary64 suite (FP-div/FP-sqrt are missing blobs
+    # in the reference; generated here like the rest)
+    from oece_tpu.circuits import fp as fpgen
+
+    nfp = f"{root}/new_bristol_ckts/fp"
+    _w(f"{nfp}/FP-add.txt", emit_bristol(fpgen.gen_fp_add(), "new"))
+    _w(f"{nfp}/FP-mul.txt", emit_bristol(fpgen.gen_fp_mul(), "new"))
+    _w(f"{nfp}/FP-div.txt", emit_bristol(fpgen.gen_fp_div(), "new"))
+    _w(f"{nfp}/FP-sqrt.txt", emit_bristol(fpgen.gen_fp_sqrt(), "new"))
+    _w(f"{nfp}/FP-eq.txt", emit_bristol(fpgen.gen_fp_eq(), "new"))
+    _w(f"{nfp}/FP-f2i.txt", emit_bristol(fpgen.gen_fp_f2i(), "new"))
+
     # new-Bristol arithmetic suite (SURVEY.md §2.9)
     narith = f"{root}/new_bristol_ckts/arith"
     _w(f"{narith}/adder64.txt", emit_bristol(gen.gen_adder(64, carry_out=False), "new"))
