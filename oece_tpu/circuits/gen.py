@@ -561,6 +561,144 @@ def gen_md5_compress() -> Netlist:
     return b.build()
 
 
+def _word64(b: Builder, value: int) -> List[int]:
+    zero = b.const(0)
+    one = b.const(1)
+    return [one if (value >> i) & 1 else zero for i in range(64)]
+
+
+def gen_sha512_compress() -> Netlist:
+    """SHA-512 compression: (1024-bit block, 512-bit state) -> 512-bit state
+    (the reference lists sha512.txt in its corpus CMake but the blob is
+    missing — SURVEY.md §2.9; generated here).  bits_c convention like
+    sha256 (big-endian words)."""
+    b = Builder("gen_sha512")
+    M = b.input_word(1024)
+    H = b.input_word(512)
+    from ..harness.models import _SHA512_K
+
+    def word(flat, j, total):
+        lo = total - 64 * (j + 1)
+        return flat[lo : lo + 64]
+
+    zero = b.const(0)
+    w = [word(M, j, 1024) for j in range(16)]
+    for i in range(16, 80):
+        w15, w2 = w[i - 15], w[i - 2]
+        s0 = [
+            b.XOR(b.XOR(x, y), z)
+            for x, y, z in zip(
+                b.rotr_word(w15, 1), b.rotr_word(w15, 8), b.shr_word(w15, 7, zero)
+            )
+        ]
+        s1 = [
+            b.XOR(b.XOR(x, y), z)
+            for x, y, z in zip(
+                b.rotr_word(w2, 19), b.rotr_word(w2, 61), b.shr_word(w2, 6, zero)
+            )
+        ]
+        t, _ = b.add_word(w[i - 16], s0)
+        t, _ = b.add_word(t, w[i - 7])
+        t, _ = b.add_word(t, s1)
+        w.append(t)
+
+    hs = [word(H, j, 512) for j in range(8)]
+    a, bb, c, d, e, f, g, h = hs
+    for i in range(80):
+        S1 = [
+            b.XOR(b.XOR(x, y), z)
+            for x, y, z in zip(
+                b.rotr_word(e, 14), b.rotr_word(e, 18), b.rotr_word(e, 41)
+            )
+        ]
+        ch = [b.XOR(b.AND(ee, ff), b.AND(b.NOT(ee), gg)) for ee, ff, gg in zip(e, f, g)]
+        t1, _ = b.add_word(h, S1)
+        t1, _ = b.add_word(t1, ch)
+        t1, _ = b.add_word(t1, _word64(b, _SHA512_K[i]))
+        t1, _ = b.add_word(t1, w[i])
+        S0 = [
+            b.XOR(b.XOR(x, y), z)
+            for x, y, z in zip(
+                b.rotr_word(a, 28), b.rotr_word(a, 34), b.rotr_word(a, 39)
+            )
+        ]
+        maj = [
+            b.XOR(b.XOR(b.AND(x, y), b.AND(x, z)), b.AND(y, z))
+            for x, y, z in zip(a, bb, c)
+        ]
+        t2, _ = b.add_word(S0, maj)
+        h, g, f = g, f, e
+        e, _ = b.add_word(d, t1)
+        d, c, bb = c, bb, a
+        a, _ = b.add_word(t1, t2)
+
+    outs = []
+    for old, new in zip(hs, [a, bb, c, d, e, f, g, h]):
+        s, _ = b.add_word(old, new)
+        outs.append(s)
+    flat: List[int] = []
+    for j in range(7, -1, -1):  # big-endian word order (bits_c)
+        flat += outs[j]
+    b.output_word(flat)
+    return b.build()
+
+
+def gen_keccak_f() -> Netlist:
+    """Keccak-f[1600] permutation, 1600 -> 1600 (Keccak_f.txt is a missing
+    blob in the reference corpus; generated here).  Bit convention: flat
+    bits_lsb of the 200-byte state, lane (x, y) little-endian at bytes
+    8*(x + 5y) — so flat[64*(x + 5y) + z] is lane bit z.  Matches
+    models.keccak_f (itself hashlib-SHA3-checked)."""
+    b = Builder("gen_keccak_f")
+    S = b.input_word(1600)
+    from ..harness.models import _keccak_rcs, _keccak_rots
+
+    rot = _keccak_rots()
+    A = [[S[64 * (x + 5 * y) : 64 * (x + 5 * y) + 64] for y in range(5)]
+         for x in range(5)]
+
+    def rotl(w, n):
+        n %= 64
+        return [w[(z - n) % 64] for z in range(64)]
+
+    for rc in _keccak_rcs():
+        # theta
+        C = []
+        for x in range(5):
+            t = A[x][0]
+            for y in range(1, 5):
+                t = b.xor_word(t, A[x][y])
+            C.append(t)
+        D = [b.xor_word(C[(x - 1) % 5], rotl(C[(x + 1) % 5], 1)) for x in range(5)]
+        A = [[b.xor_word(A[x][y], D[x]) for y in range(5)] for x in range(5)]
+        # rho + pi
+        B = [[None] * 5 for _ in range(5)]
+        for x in range(5):
+            for y in range(5):
+                B[y][(2 * x + 3 * y) % 5] = rotl(A[x][y], rot[x][y])
+        # chi
+        A = [
+            [
+                [
+                    b.XOR(B[x][y][z], b.AND(b.NOT(B[(x + 1) % 5][y][z]),
+                                            B[(x + 2) % 5][y][z]))
+                    for z in range(64)
+                ]
+                for y in range(5)
+            ]
+            for x in range(5)
+        ]
+        # iota
+        A[0][0] = [b.NOT(w) if (rc >> z) & 1 else w for z, w in enumerate(A[0][0])]
+
+    flat: List[int] = []
+    for y in range(5):
+        for x in range(5):
+            flat += A[x][y]
+    b.output_word(flat)
+    return b.build()
+
+
 # ---------------------------------------------------------------------------
 # DES (reference corpus old_bristol_ckts/crypto/DES-{expanded,non-expanded}
 # .txt, SURVEY.md §2.9).  S-boxes synthesized as 6-input LUTs (Shannon

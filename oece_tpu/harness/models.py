@@ -671,3 +671,132 @@ def fp_sqrt(a: int) -> int:
     num = (s << 1) | (1 if s * s != m else 0)
     # value = s * 2^(e2/2) = num * 2^(e2/2 - 1)
     return _round_pack(0, num, 1 - e2 // 2)
+
+
+# ---------------------------------------------------------------------------
+# Keccak-f[1600] and SHA-512 (referenced by the corpus CMakeLists but
+# missing large blobs upstream — examples/new_bristol_ckts/crypto/
+# {Keccak_f,sha512}.txt, SURVEY.md §2.9; generated here).
+# ---------------------------------------------------------------------------
+
+_KECCAK_RC = []
+
+
+def _keccak_rcs():
+    global _KECCAK_RC
+    if _KECCAK_RC:
+        return _KECCAK_RC
+    # LFSR-generated round constants (FIPS 202 §3.2.5)
+    r = 1
+    rcs = []
+    for _ in range(24):
+        rc = 0
+        for j in range(7):
+            if r & 1:
+                rc |= 1 << ((1 << j) - 1)
+            r = ((r << 1) ^ (0x71 if r & 0x80 else 0)) & 0xFF
+        rcs.append(rc)
+    _KECCAK_RC = rcs
+    return rcs
+
+
+_KECCAK_ROT = [[0] * 5 for _ in range(5)]
+
+
+def _keccak_rots():
+    # rho offsets (FIPS 202 §3.2.2)
+    x, y = 1, 0
+    for t in range(24):
+        _KECCAK_ROT[x][y] = ((t + 1) * (t + 2) // 2) % 64
+        x, y = y, (2 * x + 3 * y) % 5
+    return _KECCAK_ROT
+
+
+def keccak_f(state: bytes) -> bytes:
+    """Keccak-f[1600] permutation on the 200-byte state (lanes little-
+    endian: lane (x, y) at bytes 8*(x + 5y))."""
+    assert len(state) == 200
+    rot = _keccak_rots()
+    A = [[int.from_bytes(state[8 * (x + 5 * y) : 8 * (x + 5 * y) + 8], "little")
+          for y in range(5)] for x in range(5)]
+    m = (1 << 64) - 1
+
+    def rotl(v, n):
+        n %= 64
+        return ((v << n) | (v >> (64 - n))) & m
+
+    for rc in _keccak_rcs():
+        # theta
+        C = [A[x][0] ^ A[x][1] ^ A[x][2] ^ A[x][3] ^ A[x][4] for x in range(5)]
+        D = [C[(x - 1) % 5] ^ rotl(C[(x + 1) % 5], 1) for x in range(5)]
+        A = [[A[x][y] ^ D[x] for y in range(5)] for x in range(5)]
+        # rho + pi
+        B = [[0] * 5 for _ in range(5)]
+        for x in range(5):
+            for y in range(5):
+                B[y][(2 * x + 3 * y) % 5] = rotl(A[x][y], rot[x][y])
+        # chi
+        A = [[B[x][y] ^ ((~B[(x + 1) % 5][y] & m) & B[(x + 2) % 5][y])
+              for y in range(5)] for x in range(5)]
+        # iota
+        A[0][0] ^= rc
+    out = bytearray(200)
+    for x in range(5):
+        for y in range(5):
+            out[8 * (x + 5 * y) : 8 * (x + 5 * y) + 8] = A[x][y].to_bytes(8, "little")
+    return bytes(out)
+
+
+_SHA512_IV = (
+    0x6A09E667F3BCC908, 0xBB67AE8584CAA73B, 0x3C6EF372FE94F82B, 0xA54FF53A5F1D36F1,
+    0x510E527FADE682D1, 0x9B05688C2B3E6C1F, 0x1F83D9ABFB41BD6B, 0x5BE0CD19137E2179,
+)
+SHA512_IV = _SHA512_IV
+
+_SHA512_K = [
+    0x428A2F98D728AE22, 0x7137449123EF65CD, 0xB5C0FBCFEC4D3B2F, 0xE9B5DBA58189DBBC,
+    0x3956C25BF348B538, 0x59F111F1B605D019, 0x923F82A4AF194F9B, 0xAB1C5ED5DA6D8118,
+    0xD807AA98A3030242, 0x12835B0145706FBE, 0x243185BE4EE4B28C, 0x550C7DC3D5FFB4E2,
+    0x72BE5D74F27B896F, 0x80DEB1FE3B1696B1, 0x9BDC06A725C71235, 0xC19BF174CF692694,
+    0xE49B69C19EF14AD2, 0xEFBE4786384F25E3, 0x0FC19DC68B8CD5B5, 0x240CA1CC77AC9C65,
+    0x2DE92C6F592B0275, 0x4A7484AA6EA6E483, 0x5CB0A9DCBD41FBD4, 0x76F988DA831153B5,
+    0x983E5152EE66DFAB, 0xA831C66D2DB43210, 0xB00327C898FB213F, 0xBF597FC7BEEF0EE4,
+    0xC6E00BF33DA88FC2, 0xD5A79147930AA725, 0x06CA6351E003826F, 0x142929670A0E6E70,
+    0x27B70A8546D22FFC, 0x2E1B21385C26C926, 0x4D2C6DFC5AC42AED, 0x53380D139D95B3DF,
+    0x650A73548BAF63DE, 0x766A0ABB3C77B2A8, 0x81C2C92E47EDAEE6, 0x92722C851482353B,
+    0xA2BFE8A14CF10364, 0xA81A664BBC423001, 0xC24B8B70D0F89791, 0xC76C51A30654BE30,
+    0xD192E819D6EF5218, 0xD69906245565A910, 0xF40E35855771202A, 0x106AA07032BBD1B8,
+    0x19A4C116B8D2D0C8, 0x1E376C085141AB53, 0x2748774CDF8EEB99, 0x34B0BCB5E19B48A8,
+    0x391C0CB3C5C95A63, 0x4ED8AA4AE3418ACB, 0x5B9CCA4F7763E373, 0x682E6FF3D6B2B8A3,
+    0x748F82EE5DEFB2FC, 0x78A5636F43172F60, 0x84C87814A1F0AB72, 0x8CC702081A6439EC,
+    0x90BEFFFA23631E28, 0xA4506CEBDE82BDE9, 0xBEF9A3F7B2C67915, 0xC67178F2E372532B,
+    0xCA273ECEEA26619C, 0xD186B8C721C0C207, 0xEADA7DD6CDE0EB1E, 0xF57D4F7FEE6ED178,
+    0x06F067AA72176FBA, 0x0A637DC5A2C898A6, 0x113F9804BEF90DAE, 0x1B710B35131C471B,
+    0x28DB77F523047D84, 0x32CAAB7B40C72493, 0x3C9EBE0A15C9BEBC, 0x431D67C49C100D4C,
+    0x4CC5D4BECB3E42B6, 0x597F299CFC657E2A, 0x5FCB6FAB3AD6FAEC, 0x6C44198C4A475817,
+]
+
+
+def _rotr64(x, n):
+    return ((x >> n) | (x << (64 - n))) & ((1 << 64) - 1)
+
+
+def sha512_compress(block: bytes, iv=_SHA512_IV) -> bytes:
+    assert len(block) == 128
+    m = (1 << 64) - 1
+    w = [int.from_bytes(block[8 * i : 8 * i + 8], "big") for i in range(16)]
+    for i in range(16, 80):
+        s0 = _rotr64(w[i - 15], 1) ^ _rotr64(w[i - 15], 8) ^ (w[i - 15] >> 7)
+        s1 = _rotr64(w[i - 2], 19) ^ _rotr64(w[i - 2], 61) ^ (w[i - 2] >> 6)
+        w.append((w[i - 16] + s0 + w[i - 7] + s1) & m)
+    a, b, c, d, e, f, g, h = iv
+    for i in range(80):
+        S1 = _rotr64(e, 14) ^ _rotr64(e, 18) ^ _rotr64(e, 41)
+        ch = (e & f) ^ (~e & g & m)
+        t1 = (h + S1 + ch + _SHA512_K[i] + w[i]) & m
+        S0 = _rotr64(a, 28) ^ _rotr64(a, 34) ^ _rotr64(a, 39)
+        maj = (a & b) ^ (a & c) ^ (b & c)
+        t2 = (S0 + maj) & m
+        h, g, f, e, d, c, b, a = g, f, e, (d + t1) & m, c, b, a, (t1 + t2) & m
+    out = [(x + y) & m for x, y in zip(iv, (a, b, c, d, e, f, g, h))]
+    return b"".join(int.to_bytes(x, 8, "big") for x in out)

@@ -151,6 +151,20 @@ def tb_des(opt):
     return out
 
 
+def tb_sha512(opt):
+    """SHA-512 compression (missing blob upstream; generated here)."""
+    out = []
+    _run(out, tl.test_sha512, f"{R}/new_bristol_ckts/crypto/sha512.txt", opt)
+    return out
+
+
+def tb_keccak(opt):
+    """Keccak-f[1600] permutation (missing blob upstream; generated here)."""
+    out = []
+    _run(out, tl.test_keccak, f"{R}/new_bristol_ckts/crypto/Keccak_f.txt", opt)
+    return out
+
+
 def tb_aes(opt):
     out = []
     for f in ("AES-expanded.txt", "AES-non-expanded.txt"):
@@ -168,6 +182,8 @@ BENCHES = {
     "md5": tb_md5,
     "sha1": tb_sha1,
     "sha256": tb_sha256,
+    "sha512": tb_sha512,
+    "keccak": tb_keccak,
     "aes": tb_aes,
     "des": tb_des,
     "aes_sizes": tb_aes_sizes,

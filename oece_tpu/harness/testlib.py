@@ -132,11 +132,15 @@ def run_harness(
     seed: int = 0,
     circuit: Optional[Circuit] = None,
     verbose: bool = False,
+    netlist=None,
 ) -> HarnessResult:
     """Two-tier differential run (plaintext then encrypted+verify)."""
     t0 = time.time()
     c = circuit or Circuit(set=set, method=method, seed=seed, generate_keys=encrypted)
-    c.ReadFile(fname)
+    if netlist is not None:
+        c.LoadNetlist(netlist)
+    else:
+        c.ReadFile(fname)
     T = in_words[0].shape[0]
 
     def compare(outs) -> int:
@@ -466,6 +470,55 @@ def test_sha1(fname: str, num_loops: int = 4, **kw) -> HarnessResult:
     inp = np.stack([bits_d(b) for b in blocks])
     exp = np.stack([bits_d(models.sha1_compress(b)) for b in blocks])
     return run_harness(f"sha1[{os.path.basename(fname)}]", fname, [inp], [exp], **kw)
+
+
+def _load_or_gen(fname: str, genf):
+    """Parse the corpus file when present, else generate the netlist (the
+    giant sha512/Keccak_f circuits are not checked in; tools/gen_corpus.py
+    --big writes them)."""
+    if os.path.exists(fname):
+        return None  # run_harness parses the file
+    return genf()
+
+
+def test_sha512(fname: str, num_loops: int = 4, **kw) -> HarnessResult:
+    """SHA-512 compression ((1024-bit block, 512-bit state) -> 512; the
+    reference corpus lists sha512.txt but the blob is missing).  bits_c
+    convention; golden model is hashlib-checked."""
+    from ..circuits.gen import gen_sha512_compress
+
+    nl = _load_or_gen(fname, gen_sha512_compress)
+    rng = np.random.default_rng(kw.pop("data_seed", 19))
+    blocks = [b"\x00" * 128] + [rng.bytes(128) for _ in range(num_loops - 1)]
+    blocks = blocks[:num_loops]
+    iv_bytes = b"".join(int.to_bytes(x, 8, "big") for x in models.SHA512_IV)
+    inp_m = np.stack([bits_c(b) for b in blocks])
+    inp_iv = np.stack([bits_c(iv_bytes)] * len(blocks))
+    exp = np.stack([bits_c(models.sha512_compress(b)) for b in blocks])
+    return run_harness(
+        f"sha512[{os.path.basename(fname)}]", fname, [inp_m, inp_iv], [exp],
+        netlist=nl, **kw
+    )
+
+
+def test_keccak(fname: str, num_loops: int = 4, **kw) -> HarnessResult:
+    """Keccak-f[1600] permutation (Keccak_f.txt is a missing blob in the
+    reference corpus).  State convention: bits_lsb of the 200-byte state;
+    golden model is hashlib-SHA3-checked."""
+    from ..circuits.gen import gen_keccak_f
+
+    nl = _load_or_gen(fname, gen_keccak_f)
+    rng = np.random.default_rng(kw.pop("data_seed", 20))
+    states = [b"\x00" * 200] + [rng.bytes(200) for _ in range(num_loops - 1)]
+    states = states[:num_loops]
+    inp = np.stack([models.hex_to_bits_lsb(s.hex()) for s in states])
+    exp = np.stack(
+        [models.hex_to_bits_lsb(models.keccak_f(s).hex()) for s in states]
+    )
+    return run_harness(
+        f"keccak[{os.path.basename(fname)}]", fname, [inp], [exp],
+        netlist=nl, **kw
+    )
 
 
 def test_sha256(fname: str, num_loops: int = 4, **kw) -> HarnessResult:

@@ -190,3 +190,42 @@ def test_aes_new_circuit_plaintext(kb):
         f"examples/new_bristol_ckts/crypto/aes_{kb}.txt", 2, encrypted=False
     )
     assert r.passed, r.summary()
+
+
+def test_sha512_golden_vs_hashlib():
+    import hashlib
+
+    from oece_tpu.harness import models
+
+    for msg in (b"", b"abc", b"x" * 100):
+        pad = (
+            msg + b"\x80" + b"\x00" * (111 - len(msg))
+            + (8 * len(msg)).to_bytes(16, "big")
+        )
+        assert models.sha512_compress(pad) == hashlib.sha512(msg).digest()
+
+
+def test_keccak_golden_vs_hashlib_sha3():
+    import hashlib
+
+    from oece_tpu.harness import models
+
+    def sha3_256(msg: bytes) -> bytes:
+        rate = 136
+        block = bytearray(msg + b"\x06" + b"\x00" * (rate - len(msg) - 1))
+        block[rate - 1] |= 0x80
+        state = bytes(block) + b"\x00" * (200 - rate)
+        return models.keccak_f(state)[:32]
+
+    for msg in (b"", b"abc", b"hello keccak", b"q" * 100):
+        assert sha3_256(msg) == hashlib.sha3_256(msg).digest()
+
+
+def test_sha512_keccak_circuits_plaintext():
+    from oece_tpu.harness.testlib import test_keccak as run_keccak
+    from oece_tpu.harness.testlib import test_sha512 as run_sha512
+
+    r = run_sha512("examples/new_bristol_ckts/crypto/sha512.txt", 2, encrypted=False)
+    assert r.passed, r.summary()
+    r = run_keccak("examples/new_bristol_ckts/crypto/Keccak_f.txt", 2, encrypted=False)
+    assert r.passed, r.summary()

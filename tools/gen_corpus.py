@@ -63,7 +63,7 @@ def _kat_sha256(n=4):
     return "\n".join(lines) + "\n"
 
 
-def main(root="examples"):
+def main(root="examples", big=False):
     # simple_ckts (.out programs; TB_adder_2bit / TB_parity)
     _w(f"{root}/simple_ckts/adder_2bit/adder_2bit.out", emit_asm(gen.gen_adder(2)))
     _w(f"{root}/simple_ckts/parity/parity.out", emit_asm(gen.gen_parity(8)))
@@ -102,6 +102,11 @@ def main(root="examples"):
     _w(f"{ncrypto}/sha-256-test.txt", _kat_sha256())
     for kb in (128, 192, 256):
         _w(f"{ncrypto}/aes_{kb}.txt", emit_bristol(gen.gen_aes(kb), "new"))
+    if big:
+        # ~190k/320k-gate circuits (missing blobs upstream); not checked in —
+        # the harness generates the netlists on demand when absent
+        _w(f"{ncrypto}/sha512.txt", emit_bristol(gen.gen_sha512_compress(), "new"))
+        _w(f"{ncrypto}/Keccak_f.txt", emit_bristol(gen.gen_keccak_f(), "new"))
 
     # new-Bristol IEEE-754 binary64 suite (FP-div/FP-sqrt are missing blobs
     # in the reference; generated here like the rest)
@@ -128,4 +133,5 @@ def main(root="examples"):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "examples")
+    args = [a for a in sys.argv[1:] if a != "--big"]
+    main(args[0] if args else "examples", big="--big" in sys.argv[1:])
