@@ -210,20 +210,25 @@ def signed_digits_dev(x: jnp.ndarray, B: int, d: int) -> jnp.ndarray:
 def monomial_rotate(P: jnp.ndarray, c: jnp.ndarray, N: int, Q: int) -> jnp.ndarray:
     """P [B, ..., N] * X^{c[B]} in Z_Q[X]/(X^N+1); c in [0, 2N).
 
-    Gather-free: the negacyclic rotation is done on the 2N extension
-    [P, -P] with a per-row barrel shifter — log2(2N) masked static rolls.
-    (XLA gathers lower catastrophically on TPU; static rolls are cheap.)
+    Gather-free (XLA gathers lower catastrophically on TPU): a CYCLIC
+    per-row barrel over length N (log2(N) masked static rolls) followed by
+    a sign fix-up.  With c = q*N + c', X^c * P cyclically rotated by c'
+    wraps coefficient k past X^N exactly when (k < c') XOR q, where it
+    picks up the negacyclic minus sign.  Half the lanes and one fewer
+    round than the naive barrel over the [P, -P] 2N extension.
     """
-    neg = jnp.where(P == 0, 0, Q - P)
-    x = jnp.concatenate([P, neg], axis=-1)  # [B, ..., 2N]
     cshape = (P.shape[0],) + (1,) * (P.ndim - 1)
     cb = c.reshape(cshape)
-    # right-rotate row b by c[b]: X'[k] = X[(k - c) mod 2N]
-    for b in range(int(np.log2(2 * N))):
+    cp = cb & (N - 1)  # c mod N
+    x = P
+    # cyclic right-rotate row b by cp[b]: X'[k] = X[(k - cp) mod N]
+    for b in range(int(np.log2(N))):
         sh = 1 << b
         rolled = jnp.roll(x, sh, axis=-1)
-        x = jnp.where((cb & sh) != 0, rolled, x)
-    return x[..., :N]
+        x = jnp.where((cp & sh) != 0, rolled, x)
+    k = jnp.arange(N, dtype=c.dtype)
+    wrap = (k < cp) ^ (cb >= N)  # negate where wrapped past X^N
+    return jnp.where(wrap, jnp.where(x == 0, 0, Q - x), x)
 
 
 def _acc_init(tv_sel: jnp.ndarray, b2N: jnp.ndarray, N: int, Q: int) -> jnp.ndarray:
@@ -242,16 +247,18 @@ def _external_cmux_pallas(acc, a_col, kwin_i, p: BinFHEParams):
     """Pallas-kernel version of one GINX step (TPU hot path).
 
     kwin_i : int32 [2*nt-1, 4, R*M, SPANW] packed key windows for this step.
+
+    The limb combine runs inside the matmul kernel (the raw [B, M, N] limb
+    accumulators never reach HBM — 4x less output traffic); the per-gate
+    monomial rotations use the half-barrel jnp path (measured faster than
+    a VMEM-resident Pallas barrel, which is VPU-bound either way).
     """
     Q, N = p.Q, p.N
     B = acc.shape[0]
     digs = _digits_rbn(acc, p)  # [R, B, N]
     dt = pk.pack_digits_for_pallas(digs)  # [nt, B, R*128]
-    prod = pk.negacyclic_matmul_split(dt, kwin_i, 2 * p.d_g, max_b=PALLAS_MAX_B)
-    # [B, M, N] with m = (part, out, limb)
-    prod = prod.reshape(B, 2, 2, modmath.N_LIMBS, N)
-    prod = jnp.transpose(prod, (0, 1, 2, 4, 3))  # [B, parts, out, N, L]
-    P = modmath.combine_limbs_mod_q(prod, Q)
+    P4 = pk.negacyclic_matmul_combine(dt, kwin_i, 2 * p.d_g, Q, max_b=PALLAS_MAX_B)
+    P = P4.reshape(B, 2, 2, N)  # [B, part, out, N] mod Q
     c_pos = (2 * N - a_col) & (2 * N - 1)
     rot_pos = monomial_rotate(P[:, 0], c_pos, N, Q)
     rot_neg = monomial_rotate(P[:, 1], a_col, N, Q)

@@ -51,10 +51,17 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import modmath
+
 TILE = 128  # TI = TK = 128
 SPAN = 2 * TILE  # window bytes; net shift + read never exceeds 255
 SPANW = SPAN // 4  # packed int32 words per window
 TKW = TILE // 4  # words per output tile
+
+# v5e has 128 MB VMEM/core; the 16 MB default scoped limit starves these
+# kernels (measured: the matmul kernel only reaches the int8-MXU roofline
+# with full double-buffering headroom).
+VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def _build_diag_kernel(keys_ref, dense_ref, *, R, M):
@@ -99,25 +106,69 @@ def _diag_matmul_kernel(digs_ref, dense_ref, out_ref, *, M, TB):
     digs_ref  : [1, TB, R*TILE] int8  (block at (i, 0, 0))
     dense_ref : [1, R*TILE, M*TILE] int8 (block at (k-i+nt-1, 0, 0))
     out_ref   : [TB, M, TILE] int32 (block at (0, 0, k))
+
+    The whole-block reshape write (instead of per-m slice stores) is what
+    lets Mosaic keep the MXU saturated — measured 692 us/step at
+    B=1024/STD128, i.e. the int8 roofline, vs ~1.5 ms with slice stores.
     """
     i_idx = pl.program_id(1)
-    TK = TILE
     res = jax.lax.dot_general(
         digs_ref[0],
         dense_ref[0],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )  # [TB, M*TK]
+    r3 = res.reshape(TB, M, TILE)
 
     @pl.when(i_idx == 0)
     def _():
-        for m in range(M):
-            out_ref[:, m, :] = res[:, m * TK : (m + 1) * TK]
+        out_ref[...] = r3
 
     @pl.when(i_idx != 0)
     def _():
-        for m in range(M):
-            out_ref[:, m, :] = out_ref[:, m, :] + res[:, m * TK : (m + 1) * TK]
+        out_ref[...] = out_ref[...] + r3
+
+
+def _combine_limbs_tile(a, Q: int):
+    """a int32 [TB, G, L=4, TILE] limb accumulators -> [TB, G, TILE] mod Q
+    (modmath.combine_limbs_mod_q inlined on the limb axis=2)."""
+    acc = modmath.mod_q(a[:, :, 3, :], Q)
+    for l in (2, 1, 0):
+        acc = modmath.mul_pow8_mod(acc, Q)
+        acc = acc + modmath.mod_q(a[:, :, l, :], Q)
+        acc = acc - Q * (acc >= Q).astype(jnp.int32)
+    return acc
+
+
+def _diag_matmul_combine_kernel(digs_ref, dense_ref, out_ref, acc_ref, *, M, TB, nt, Q):
+    """Like _diag_matmul_kernel but accumulates into a VMEM scratch and, on
+    the last i-tile, Horner-combines the L=4 key limbs mod Q in-kernel —
+    the [TB, M, N] int32 intermediate never touches HBM (4x less output
+    traffic and no separate combine pass).
+
+    m-plane order is (part, out, limb) (pack_bootstrap_key), so the limb
+    axis is minor: res.reshape(TB, M//4, 4, TILE).
+    out_ref : [TB, M//4, TILE] int32 combined, columns still plane-permuted.
+    """
+    i_idx = pl.program_id(1)
+    res = jax.lax.dot_general(
+        digs_ref[0],
+        dense_ref[0],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(i_idx == 0)
+    def _():
+        acc_ref[...] = res
+
+    @pl.when(i_idx != 0)
+    def _():
+        acc_ref[...] = acc_ref[...] + res
+
+    @pl.when(i_idx == nt - 1)
+    def _():
+        out_ref[...] = _combine_limbs_tile(acc_ref[...].reshape(TB, M // 4, 4, TILE), Q)
 
 
 def build_diagonals_pallas(keys_windows, R: int, interpret: bool = False):
@@ -138,6 +189,7 @@ def build_diagonals_pallas(keys_windows, R: int, interpret: bool = False):
         ),
         out_shape=jax.ShapeDtypeStruct((ndiag, R * TILE, M * TILE), jnp.int8),
         interpret=interpret,
+        compiler_params=None if interpret else VMEM_PARAMS,
     )(keys_windows)
 
 
@@ -164,7 +216,68 @@ def diag_matmul_pallas(digs_tiled, dense_all, R: int, interpret: bool = False):
         ),
         out_shape=jax.ShapeDtypeStruct((B, M, N), jnp.int32),
         interpret=interpret,
+        compiler_params=None if interpret else VMEM_PARAMS,
     )(digs_tiled, dense_all)
+
+
+def diag_matmul_combine_pallas(
+    digs_tiled, dense_all, R: int, Q: int, interpret: bool = False
+):
+    """digs_tiled int8 [nt, B, R*128]; dense_all int8 [2*nt-1, R*128, M*128]
+    -> int32 [B, M//4, N] limb-combined mod Q (plane-permuted columns)."""
+    nt, B, RT = digs_tiled.shape
+    N = nt * TILE
+    ndiag, _, MT = dense_all.shape
+    M = MT // TILE
+    kernel = functools.partial(
+        _diag_matmul_combine_kernel, M=M, TB=B, nt=nt, Q=Q
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(nt, nt),
+        in_specs=[
+            pl.BlockSpec((1, B, RT), lambda k, i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, RT, MT), lambda k, i: (k - i + nt - 1, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (B, M // 4, TILE), lambda k, i: (0, 0, k), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, M // 4, N), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((B, M * TILE), jnp.int32)],
+        interpret=interpret,
+        compiler_params=None if interpret else VMEM_PARAMS,
+    )(digs_tiled, dense_all)
+
+
+@functools.partial(jax.jit, static_argnames=("R", "Q", "max_b", "interpret"))
+def negacyclic_matmul_combine(
+    digs_tiled, keys_windows, R: int, Q: int, max_b: int = 512, interpret: bool = False
+):
+    """Two-phase pipeline with the limb combine fused into the matmul:
+    build the 2*nt-1 dense diagonal blocks once, contract every batch chunk,
+    Horner-combine the 4 key limbs mod Q in-kernel.
+
+    Returns int32 [B, M//4, N] in [0, Q), true column order (the plane
+    un-permutation runs on the combined output — 4x smaller than the raw
+    limb accumulators)."""
+    nt, B, RT = digs_tiled.shape
+    N = nt * TILE
+    dense_all = build_diagonals_pallas(keys_windows, R, interpret)
+    G = dense_all.shape[2] // TILE // 4
+    step = min(max_b, B)
+    chunks = []
+    for c0 in range(0, B, step):
+        chunks.append(
+            diag_matmul_combine_pallas(
+                digs_tiled[:, c0 : c0 + step], dense_all, R, Q, interpret
+            )
+        )
+    out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
+    out5 = out.reshape(B, G, nt, 4, TKW)
+    return jnp.transpose(out5, (0, 1, 2, 4, 3)).reshape(B, G, N)
 
 
 @functools.partial(jax.jit, static_argnames=("R", "max_b", "interpret"))
@@ -275,6 +388,7 @@ def negacyclic_matmul_pallas(digs_tiled, keys_windows, R: int, interpret: bool =
         out_shape=jax.ShapeDtypeStruct((B, M, N), jnp.int32),
         scratch_shapes=[pltpu.VMEM((R * TILE, M * TILE), jnp.int8)],
         interpret=interpret,
+        compiler_params=None if interpret else VMEM_PARAMS,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * R * M * N,
             bytes_accessed=B * N * R + ndiag * 4 * RM * SPAN + B * M * N * 4,
@@ -284,6 +398,58 @@ def negacyclic_matmul_pallas(digs_tiled, keys_windows, R: int, interpret: bool =
     # undo the per-tile plane permutation: column j*TKW+w -> 4w+j
     out5 = out.reshape(B, M, nt, 4, TKW)
     return jnp.transpose(out5, (0, 1, 2, 4, 3)).reshape(B, M, N)
+
+
+def _cmux_epilogue_kernel(P_ref, acc_ref, amt_ref, out_ref, *, BG, N, Q):
+    """Per-gate negacyclic monomial rotations + CMUX add + reduction, all
+    VMEM-resident (replaces the jnp 11-round roll/where barrel that cost
+    ~0.42 ms/step at B=1024 in HBM round trips).
+
+    P_ref   : [BG, 2(part), 2(out), N] int32 in [0, Q)
+    acc_ref : [BG, 2, N] int32
+    amt_ref : [BG, 2, 2, TILE] int32 rotation amounts in [0, 2N), lane-
+              replicated host-side (part0: 2N - a~, part1: a~).  Mosaic
+              supports neither reshape-to-singleton-minors nor the matching
+              broadcast_in_dim, so the per-gate scalars arrive pre-spread
+              over one lane tile and are widened by concatenation.
+    out_ref : [BG, 2, N] int32 = red(acc + X^amt0*P0 + X^amt1*P1 - P0 - P1)
+    """
+    P = P_ref[...]
+    neg = jnp.where(P == 0, 0, Q - P)
+    x = jnp.concatenate([P, neg], axis=-1)  # negacyclic 2N extension
+    amt = jnp.concatenate([amt_ref[...]] * (2 * N // TILE), axis=-1)
+    for bbit in range(int(np.log2(2 * N))):
+        sh = 1 << bbit
+        rolled = pltpu.roll(x, sh, 3)
+        x = jnp.where((amt & sh) != 0, rolled, x)
+    rot = x[..., :N]
+    y = acc_ref[...] + rot[:, 0] + rot[:, 1] + (2 * Q - P[:, 0] - P[:, 1])
+    out_ref[...] = modmath.red31(y, Q)
+
+
+def cmux_epilogue_pallas(P, acc, amt, Q: int, block_b: int = 256, interpret: bool = False):
+    """P int32 [B, 2, 2, N] mod Q; acc [B, 2, N]; amt [B, 2] in [0, 2N)
+    -> int32 [B, 2, N]: red31(acc + rot(P0, amt0) + rot(P1, amt1) + 2Q - P0 - P1).
+
+    Exactly matches the jnp path (monomial_rotate + red31 in fhe/boot.py)."""
+    B, _, _, N = P.shape
+    BG = min(block_b, B)
+    assert B % BG == 0, (B, BG)
+    amt_lane = jnp.broadcast_to(amt[:, :, None, None], (B, 2, 2, TILE))
+    kernel = functools.partial(_cmux_epilogue_kernel, BG=BG, N=N, Q=Q)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // BG,),
+        in_specs=[
+            pl.BlockSpec((BG, 2, 2, N), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BG, 2, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BG, 2, 2, TILE), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BG, 2, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 2, N), jnp.int32),
+        interpret=interpret,
+        compiler_params=None if interpret else VMEM_PARAMS,
+    )(P, acc, amt_lane)
 
 
 def pack_digits_for_pallas(digs: jnp.ndarray) -> jnp.ndarray:
