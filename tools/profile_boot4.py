@@ -138,3 +138,17 @@ def scan_build(kw):
 
 
 timeit("F: diag build only", scan_build, kw)
+
+
+# G. plain v1-style matmul (no combine) for comparison
+@jax.jit
+def scan_mm_plain(digs0, kw):
+    def body(carry, kwin):
+        d = jnp.where(carry < 0, -digs0, digs0)
+        out = pk.negacyclic_matmul_split(d, kwin, R, max_b=boot.PALLAS_MAX_B)
+        return jnp.minimum(carry + out[0, 0, :1].sum(), jnp.int32(0)), None
+
+    return jax.lax.scan(body, jnp.int32(0), kw)[0]
+
+
+timeit("G: matmul plain (split, no comb)", scan_mm_plain, digs0, kw)
