@@ -171,13 +171,21 @@ def _diag_matmul_combine_kernel(digs_ref, dense_ref, out_ref, acc_ref, *, M, TB,
         out_ref[...] = _combine_limbs_tile(acc_ref[...].reshape(TB, M // 4, 4, TILE), Q)
 
 
-def build_diagonals_pallas(keys_windows, R: int, interpret: bool = False):
+def build_diagonals_pallas(
+    keys_windows, R: int, interpret: bool = False, reverse: bool = False
+):
     """keys_windows int32 [ndiag, 4, R*M*SPANW] -> dense int8
-    [ndiag, R*TILE, M*TILE] (built once per bootstrap step)."""
+    [ndiag, R*TILE, M*TILE] (built once per bootstrap step).
+
+    With ``reverse=True`` the output is stored in reversed diagonal order
+    (rev[d'] = dense[ndiag-1-d']), which makes the per-output-tile operand of
+    the window matmul a *contiguous* row span (see window_matmul_pallas).
+    """
     ndiag, nph, rmw = keys_windows.shape
     RM = rmw // SPANW
     M = RM // R
     kernel = functools.partial(_build_diag_kernel, R=R, M=M)
+    out_map = (lambda d: (ndiag - 1 - d, 0, 0)) if reverse else (lambda d: (d, 0, 0))
     return pl.pallas_call(
         kernel,
         grid=(ndiag,),
@@ -185,12 +193,102 @@ def build_diagonals_pallas(keys_windows, R: int, interpret: bool = False):
             pl.BlockSpec((1, 4, rmw), lambda d: (d, 0, 0), memory_space=pltpu.VMEM)
         ],
         out_specs=pl.BlockSpec(
-            (1, R * TILE, M * TILE), lambda d: (d, 0, 0), memory_space=pltpu.VMEM
+            (1, R * TILE, M * TILE), out_map, memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((ndiag, R * TILE, M * TILE), jnp.int8),
         interpret=interpret,
         compiler_params=None if interpret else VMEM_PARAMS,
     )(keys_windows)
+
+
+def _window_matmul_kernel(digs_ref, rev_ref, out_ref, *, nt, RT, M, TB, Q):
+    """Grid (b_chunks, nt): ONE [TB, nt*RT] x [nt*RT, M*TILE] int8 MXU dot
+    per output N-tile, contracting over all i-tiles at once.
+
+    The second operand for output tile k is the row span
+    rev[(nt-1-k)*RT : (2*nt-1-k)*RT] of the reversed-diagonal dense array
+    (rev[j] = dense[k-j+nt-1] within the span), so no per-cell accumulator
+    read-modify-write and no per-cell HBM streaming of the dense blocks —
+    rev stays VMEM-resident across the whole grid.  The limb combine runs on
+    the complete dot result (columns remain plane-permuted, like the other
+    kernels).
+
+    digs_ref : [TB, nt*RT] int8 (block at (c, 0)); column j*RT+r*128+t is
+               digit row r of i-tile j.
+    rev_ref  : [(2*nt-1)*RT, M*TILE] int8, whole array resident.
+    out_ref  : [TB, M//4, TILE] int32 (block at (c, 0, k)).
+    """
+    k = pl.program_id(1)
+    win = rev_ref[pl.ds((nt - 1 - k) * RT, nt * RT), :]
+    res = jax.lax.dot_general(
+        digs_ref[...],
+        win,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [TB, M*TILE]
+    out_ref[...] = _combine_limbs_tile(res.reshape(TB, M // 4, 4, TILE), Q)
+
+
+def window_matmul_pallas(
+    digs_rows, rev_flat, nt: int, R: int, Q: int, block_b: int = 1024,
+    interpret: bool = False,
+):
+    """digs_rows int8 [B, nt*R*TILE]; rev_flat int8 [(2*nt-1)*R*TILE, M*TILE]
+    -> int32 [B, M//4, N] limb-combined mod Q (plane-permuted columns)."""
+    B, K = digs_rows.shape
+    RT = R * TILE
+    assert K == nt * RT
+    MT = rev_flat.shape[1]
+    M = MT // TILE
+    TB = min(block_b, B)
+    assert B % TB == 0, (B, TB)
+    N = nt * TILE
+    kernel = functools.partial(
+        _window_matmul_kernel, nt=nt, RT=RT, M=M, TB=TB, Q=Q
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B // TB, nt),
+        in_specs=[
+            pl.BlockSpec((TB, K), lambda c, k: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                ((2 * nt - 1) * RT, MT), lambda c, k: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (TB, M // 4, TILE), lambda c, k: (c, 0, k), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, M // 4, N), jnp.int32),
+        interpret=interpret,
+        compiler_params=None if interpret else VMEM_PARAMS,
+    )(digs_rows, rev_flat)
+
+
+@functools.partial(jax.jit, static_argnames=("R", "Q", "max_b", "interpret"))
+def negacyclic_matmul_window(
+    digs_rows, keys_windows, R: int, Q: int, max_b: int = 1024,
+    interpret: bool = False,
+):
+    """Window-matmul pipeline: build the reversed diagonal array once, then
+    one K=(N/128)*R*128 MXU dot per output tile with the limb combine fused.
+
+    digs_rows int8 [B, nt*R*128] (pack_digits_rows layout).
+    Returns int32 [B, M//4, N] in [0, Q), true column order.
+    """
+    B, K = digs_rows.shape
+    RT = R * TILE
+    nt = K // RT
+    N = nt * TILE
+    rev = build_diagonals_pallas(keys_windows, R, interpret, reverse=True)
+    ndiag, _, MT = rev.shape
+    rev_flat = rev.reshape(ndiag * RT, MT)
+    out = window_matmul_pallas(
+        digs_rows, rev_flat, nt, R, Q, block_b=max_b, interpret=interpret
+    )
+    G = MT // TILE // 4
+    out5 = out.reshape(B, G, nt, 4, TKW)
+    return jnp.transpose(out5, (0, 1, 2, 4, 3)).reshape(B, G, N)
 
 
 def diag_matmul_pallas(digs_tiled, dense_all, R: int, interpret: bool = False):
@@ -458,6 +556,15 @@ def pack_digits_for_pallas(digs: jnp.ndarray) -> jnp.ndarray:
     nt = N // TILE
     d = digs.reshape(R, B, nt, TILE)
     return jnp.transpose(d, (2, 1, 0, 3)).reshape(nt, B, R * TILE)
+
+
+def pack_digits_rows(digs: jnp.ndarray) -> jnp.ndarray:
+    """int8 [R, B, N] -> [B, (N/128)*R*128] (window-matmul layout: column
+    j*R*128 + r*128 + t is digit row r of i-tile j)."""
+    R, B, N = digs.shape
+    nt = N // TILE
+    d = digs.reshape(R, B, nt, TILE)
+    return jnp.transpose(d, (1, 2, 0, 3)).reshape(B, nt * R * TILE)
 
 
 def pack_keys_for_pallas(keys_ext_int8: np.ndarray) -> np.ndarray:
