@@ -56,6 +56,8 @@ def parse_bristol(path: str, name: str | None = None, fmt: str = "auto") -> Netl
     to this implementation (tests/test_native.py) and ~20x faster on the
     135k-gate circuits.
     """
+    if not os.path.exists(path):
+        raise FileNotFoundError(2, "no such circuit file", path)
     if fmt == "auto" and os.environ.get("OECE_NO_NATIVE", "0") != "1":
         try:
             from . import native as native_mod

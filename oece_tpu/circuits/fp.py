@@ -5,7 +5,12 @@ vectors; FP-div/FP-sqrt are missing blobs — SURVEY.md §2.9); here the whole
 family is *generated* and bit-exactly matches the integer-arithmetic golden
 models (harness/models.py fp_*), which are themselves fuzz-checked against
 the host FPU (tests/test_fp.py).  Semantics: round-to-nearest-even, full
-subnormal support, every NaN result is the canonical quiet NaN.
+subnormal support, with the special-value conventions pinned empirically
+against the reference's FP-{add,mul,eq,f2i}.txt circuits
+(tools/probe_conventions.py): NaN inputs propagate payload+sign with the
+quiet bit forced (second operand wins when both are NaN); invalid ops
+(inf-inf, 0*inf, 0/0, inf/inf, sqrt(-x)) produce 0x7FFFFFFFFFFFFFFF; f2i
+is saturating round-to-nearest-even.
 
 Words are LSB-first wire lists: sign = w[63], exponent = w[52:63],
 mantissa = w[0:52].
@@ -29,7 +34,7 @@ from typing import List, Tuple
 from .gen import Builder
 from .netlist import Netlist
 
-QNAN = 0x7FF8000000000000
+INVALID = 0x7FFFFFFFFFFFFFFF  # invalid-op result (reference-circuit pinned)
 
 
 # ---------------------------------------------------------------------------
@@ -148,8 +153,22 @@ class _Cls:
         self.sig = list(self.man) + [b.NOT(self.e_zero)]  # 53 bits
 
 
-def _qnan_word(b: Builder) -> List[int]:
-    return _const_word(b, QNAN, 64)
+def _invalid_word(b: Builder) -> List[int]:
+    return _const_word(b, INVALID, 64)
+
+
+def _nan_special(
+    b: Builder, A: List[int], B: List[int], ca: _Cls, cb: _Cls,
+    invalid: int, res64: List[int],
+) -> List[int]:
+    """Apply the family's special-value conventions to a computed result:
+    invalid-op -> 0x7FFF...F; any NaN input -> that operand (B wins when
+    both are NaN) with the quiet bit (bit 51) forced."""
+    res64 = b.mux_word(invalid, res64, _invalid_word(b))
+    prop = b.mux_word(cb.is_nan, A, B)  # NaN source operand
+    prop = prop[:51] + [b.const(1)] + prop[52:]
+    nan_in = b.OR(ca.is_nan, cb.is_nan)
+    return b.mux_word(nan_in, res64, prop)
 
 
 def _inf63(b: Builder) -> List[int]:
@@ -275,16 +294,12 @@ def gen_fp_add() -> Netlist:
     sign = b.MUX(mag_zero, cx.sign, b.AND(ca.sign, cb.sign))
 
     # specials
-    nan = b.OR(
-        b.OR(ca.is_nan, cb.is_nan),
-        b.AND(b.AND(ca.is_inf, cb.is_inf), subtract),
-    )
+    invalid = b.AND(b.AND(ca.is_inf, cb.is_inf), subtract)  # inf + (-inf)
     any_inf = b.OR(ca.is_inf, cb.is_inf)
     sign_inf = b.MUX(ca.is_inf, cb.sign, ca.sign)
     res63 = b.mux_word(any_inf, P63, _inf63(b))
     sign = b.MUX(any_inf, sign, sign_inf)
-    out = b.mux_word(nan, res63 + [sign], _qnan_word(b))
-    b.output_word(out)
+    b.output_word(_nan_special(b, A, B, ca, cb, invalid, res63 + [sign]))
     return b.build()
 
 
@@ -321,14 +336,12 @@ def gen_fp_mul() -> Netlist:
     W = b.sub_word(W, _const_word(b, 2150, _EW))[0]
     P63 = _pack_from_p106(b, P106, W)
 
-    nan = b.OR(
-        b.OR(ca.is_nan, cb.is_nan),
-        b.OR(b.AND(ca.is_inf, cb.is_zero), b.AND(cb.is_inf, ca.is_zero)),
+    invalid = b.OR(  # 0 * inf
+        b.AND(ca.is_inf, cb.is_zero), b.AND(cb.is_inf, ca.is_zero)
     )
     any_inf = b.OR(ca.is_inf, cb.is_inf)
     res63 = b.mux_word(any_inf, P63, _inf63(b))
-    out = b.mux_word(nan, res63 + [sign], _qnan_word(b))
-    b.output_word(out)
+    b.output_word(_nan_special(b, A, B, ca, cb, invalid, res63 + [sign]))
     return b.build()
 
 
@@ -367,12 +380,8 @@ def gen_fp_div() -> Netlist:
     W = b.sub_word(W, _const_word(b, 56 + 48, _EW))[0]
     P63 = _pack_from_p106(b, P106, W)
 
-    nan = b.OR(
-        b.OR(ca.is_nan, cb.is_nan),
-        b.OR(
-            b.AND(ca.is_inf, cb.is_inf),
-            b.AND(ca.is_zero, cb.is_zero),
-        ),
+    invalid = b.OR(  # inf/inf, 0/0
+        b.AND(ca.is_inf, cb.is_inf), b.AND(ca.is_zero, cb.is_zero)
     )
     # x/inf -> 0, x/0 -> inf, inf/x -> inf
     res63 = b.mux_word(cb.is_zero, P63, _inf63(b))
@@ -380,9 +389,8 @@ def gen_fp_div() -> Netlist:
     res63 = b.mux_word(cb.is_inf, res63, _const_word(b, 0, 63))
     res63 = b.mux_word(ca.is_zero, res63, _const_word(b, 0, 63))
     # priority fixups: ca.is_zero/cb.is_inf zero wins over inf paths above
-    # except the nan combinations, which the final mux handles
-    out = b.mux_word(nan, res63 + [sign], _qnan_word(b))
-    b.output_word(out)
+    # except the invalid/NaN combinations, which _nan_special handles
+    b.output_word(_nan_special(b, A, B, ca, cb, invalid, res63 + [sign]))
     return b.build()
 
 
@@ -428,13 +436,12 @@ def gen_fp_sqrt() -> Netlist:
     P106 = [zero] * 48 + num
     P63 = _pack_from_p106(b, P106, W)
 
-    # specials: sqrt(+-0) = +-0; sqrt(x<0) = qNaN; sqrt(+inf) = +inf
-    nan = b.OR(ca.is_nan, b.AND(ca.sign, b.NOT(ca.is_zero)))
+    # specials: sqrt(+-0) = +-0; sqrt(x<0) = invalid; sqrt(+inf) = +inf
+    invalid = b.AND(ca.sign, b.NOT(b.OR(ca.is_zero, ca.is_nan)))
     res63 = b.mux_word(ca.is_inf, P63, _inf63(b))
     res63 = b.mux_word(ca.is_zero, res63, _const_word(b, 0, 63))
     sign = b.AND(ca.sign, ca.is_zero)
-    out = b.mux_word(nan, res63 + [sign], _qnan_word(b))
-    b.output_word(out)
+    b.output_word(_nan_special(b, A, A, ca, ca, invalid, res63 + [sign]))
     return b.build()
 
 
@@ -454,28 +461,39 @@ def gen_fp_eq() -> Netlist:
 
 
 def gen_fp_f2i() -> Netlist:
-    """FP-f2i.txt interface: double -> int64, truncation toward zero;
-    NaN/inf/out-of-range -> 0x8000000000000000 (x86 cvttsd2si semantics),
-    matching models.fp_f2i."""
+    """FP-f2i.txt interface: double -> int64, saturating round-to-nearest-
+    even (the reference circuit's pinned semantics, matching models.fp_f2i):
+    NaN (any sign) and positive overflow/+inf -> INT64_MAX; negative
+    overflow/-inf -> INT64_MIN."""
     b = Builder("gen_fp_f2i")
     A = b.input_word(64)
     ca = _Cls(b, A)
     zero = b.const(0)
 
-    # s = e - 1023 (12-bit signed)
+    # |value| = K * 2^(s-63) with K = sig << 11 (64 bits, top bit set for
+    # normals), s = e - 1023 (12-bit signed).  Integer part = K >> t with
+    # t = 63 - s; keep guard/round in a 2-bit LSB extension and collect
+    # sticky from the barrel shifter.
     s = b.sub_word(_zext(b, ca.exp, 12), _const_word(b, 1023, 12))[0]
-    s_neg = s[11]
-    # in-range shift: X64 = (f << 11) >> (63 - s) for s in [0, 62]
-    t = b.sub_word(_const_word(b, 63, 12), s)[0]  # 63 - s in [1, 63]
-    f_hi = [zero] * 11 + list(ca.sig)  # f << 11, 64 bits
-    X, _ = _bsr_sticky(b, f_hi, t[:6])
-    Xn = b.neg_word(X)
-    V = b.mux_word(ca.sign, X, Xn)
-    V = [b.AND(v, b.NOT(s_neg)) for v in V]  # |v| < 1 truncates to 0
+    t = b.sub_word(_const_word(b, 63, 12), s)[0]  # 63 - s
+    t_neg = t[11]  # s > 63: no shift (q's top bit set -> saturate)
+    t_big = _or_tree(b, t[7:11])  # t >= 128: shift everything out
+    amt = [b.AND(b.NOT(t_neg), b.OR(t[k], t_big)) for k in range(7)]
+    K = [zero] * 11 + list(ca.sig)  # 64 bits
+    V = [zero, zero] + K  # 66 bits: two guard positions below the integer
+    Vs, sticky = _bsr_sticky(b, V, amt)
+    guard, rnd, q = Vs[1], Vs[0], Vs[2:]
+    round_up = b.AND(guard, b.OR(rnd, b.OR(sticky, q[0])))
+    q, carry = _inc_word(b, q, round_up)
 
-    # overflow: s >= 63 (covers -2^63, whose pattern is the indefinite one)
-    s63 = b.sub_word(s, _const_word(b, 63, 12))[0]
-    ovf = b.OR(b.AND(b.NOT(s63[11]), b.NOT(s_neg)), b.OR(ca.is_nan, ca.is_inf))
-    indef = _const_word(b, 1 << 63, 64)
-    b.output_word(b.mux_word(ovf, V, indef))
+    nz_low = _or_tree(b, q[:63])
+    pos_ovf = b.OR(carry, q[63])  # q > INT64_MAX
+    neg_ovf = b.OR(carry, b.AND(q[63], nz_low))  # q > 2^63 (MIN magnitude)
+    res = b.mux_word(ca.sign, q, b.neg_word(q))
+    maxw = _const_word(b, (1 << 63) - 1, 64)
+    minw = _const_word(b, 1 << 63, 64)
+    res = b.mux_word(b.AND(b.NOT(ca.sign), pos_ovf), res, maxw)
+    res = b.mux_word(b.AND(ca.sign, neg_ovf), res, minw)
+    res = b.mux_word(ca.is_nan, res, maxw)
+    b.output_word(res)
     return b.build()

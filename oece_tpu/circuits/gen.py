@@ -307,28 +307,57 @@ def gen_mult_low(width: int) -> Netlist:
     return b.build()
 
 
-def _udiv_core(b: Builder, A, B) -> List[int]:
-    """Restoring-division quotient of unsigned LSB-first words.
+def gen_mult2(width: int) -> Netlist:
+    """width x width -> full 2*width product as TWO declared output words in
+    (high, low) order — the reference mult2_64.txt's pinned interface
+    (header ``2 64 64``, tools/probe_conventions.py: out word 0 = high)."""
+    b = Builder(f"gen_mult2_{width}")
+    A = b.input_word(width)
+    B = b.input_word(width)
+    zero = b.const(0)
+    acc = [zero] * (2 * width)
+    for j, bj in enumerate(B):
+        partial = [b.AND(a, bj) for a in A]
+        S, c = b.add_word(acc[j : j + width], partial)
+        acc[j : j + width] = S
+        k = j + width
+        while k < 2 * width:
+            s = b.XOR(acc[k], c)
+            c = b.AND(acc[k], c)
+            acc[k] = s
+            k += 1
+    b.output_word(acc[width:])  # high word first
+    b.output_word(acc[:width])
+    return b.build()
 
-    Remainder register R is width+1 bits.  Per step (MSB of A down):
-    R' = (R << 1) | a_i;  q_i = (R' >= B);  R = q_i ? R' - B : R'.
-    With B == 0 every compare succeeds, so quotient = all-ones (and the
-    golden models replicate exactly that, harness/models.py)."""
+
+def _udiv_core(b: Builder, A, B) -> List[int]:
+    """Non-restoring-division quotient of unsigned LSB-first words on
+    ``width``-bit two's-complement registers — the reference udivide64.txt's
+    empirically pinned structure (tools/probe_conventions.py, models.udiv).
+
+    Per step (MSB of A down): R' = (R << 1) | a_i, then R = R' - B when the
+    old R was non-negative else R' + B (wrapping); q_i = NOT sign(R).
+    Equals true division for B in [1, 2^(width-1)); /0 gives the
+    prefix-sign pattern (all-ones when A < 2^(width-1))."""
     width = len(A)
     zero = b.const(0)
-    Bx = list(B) + [zero]  # zero-extended divisor
-    R = [zero] * (width + 1)
+    R = [zero] * width
+    sign = zero  # sign bit of R (R[-1])
     Q = [None] * width
     for i in range(width - 1, -1, -1):
         Rp = [A[i]] + R[:-1]  # shift left, bring in dividend bit
-        D, ge = b.sub_word(Rp, Bx)  # carry-out == (Rp >= Bx)
-        Q[i] = ge
-        R = b.mux_word(ge, Rp, D)
+        Dm, _ = b.sub_word(Rp, B)
+        Dp, _ = b.add_word(Rp, B)
+        R = b.mux_word(sign, Dm, Dp)  # old-R negative ? R'+B : R'-B
+        sign = R[-1]
+        Q[i] = b.NOT(sign)
     return Q
 
 
 def gen_udivide(width: int) -> Netlist:
-    """Unsigned quotient in1 / in2 (udivide64.txt interface); /0 -> all-ones."""
+    """Unsigned quotient in1 / in2 (udivide64.txt interface, non-restoring
+    semantics — see _udiv_core)."""
     b = Builder(f"gen_udivide_{width}")
     A = b.input_word(width)
     B = b.input_word(width)
@@ -339,8 +368,9 @@ def gen_udivide(width: int) -> Netlist:
 def gen_divide(width: int) -> Netlist:
     """Signed quotient in1 / in2, truncated toward zero (divide64.txt
     interface): |in1| / |in2| unsigned, negated when signs differ.
-    Edge semantics (documented, matched by models.sdiv): /0 gives -1 for
-    in1 >= 0 and +1 for in1 < 0; INT_MIN / -1 wraps to INT_MIN."""
+    Edge semantics (pinned against the reference circuit, matched by
+    models.sdiv): /0 gives -1 for in1 >= 0 and +1 for in1 < 0;
+    INT_MIN / -1 wraps to INT_MIN."""
     b = Builder(f"gen_divide_{width}")
     A = b.input_word(width)
     B = b.input_word(width)
@@ -885,6 +915,20 @@ def _word_from_bytes(bts: List[List[int]]) -> List[int]:
     return out
 
 
+def _bytes_from_word_c(word: List[int], n_bytes: int) -> List[List[int]]:
+    """bits_c word (whole value little-endian: byte order reversed, bits
+    LSB-first per byte) -> list of LSB-first byte wire lists in byte-string
+    order."""
+    return [word[8 * (n_bytes - 1 - i) : 8 * (n_bytes - i)] for i in range(n_bytes)]
+
+
+def _word_from_bytes_c(bts: List[List[int]]) -> List[int]:
+    out: List[int] = []
+    for byte in reversed(bts):
+        out += list(byte)
+    return out
+
+
 def _aes_schedule(ops: "_AesOps", kbytes, nk: int, nr: int):
     """In-circuit FIPS-197 key schedule (aes_expand_key parity, models.py)."""
     w = [kbytes[4 * i : 4 * i + 4] for i in range(nk)]
@@ -961,14 +1005,16 @@ def gen_aes(key_bits: int) -> Netlist:
     """AES-128/192/256 with the new-Bristol corpus interface
     (new_bristol_ckts/crypto/aes_{128,192,256}.txt headers: in1 = key,
     in2 = 128-bit block, out = 128-bit ciphertext; SURVEY.md §2.9), key
-    schedule in-circuit, bits_d convention.  Matches models.aes_encrypt."""
+    schedule in-circuit.  All words use the whole-value little-endian
+    (bits_c) convention, pinned against the reference files
+    (tools/probe_conventions.py).  Matches models.aes_encrypt."""
     assert key_bits in (128, 192, 256)
     nk = key_bits // 32
     b = Builder(f"gen_aes_{key_bits}")
     ops = _AesOps(b)
     key_w = b.input_word(key_bits)
     pt_w = b.input_word(128)
-    rks = _aes_schedule(ops, _bytes_from_word(key_w, key_bits // 8), nk, nk + 6)
-    state = _bytes_from_word(pt_w, 16)
-    b.output_word(_word_from_bytes(_aes_rounds(ops, state, rks)))
+    rks = _aes_schedule(ops, _bytes_from_word_c(key_w, key_bits // 8), nk, nk + 6)
+    state = _bytes_from_word_c(pt_w, 16)
+    b.output_word(_word_from_bytes_c(_aes_rounds(ops, state, rks)))
     return b.build()

@@ -282,17 +282,34 @@ def aes_encrypt(pt: bytes, key: bytes) -> bytes:
 
 
 def udiv(a: int, b: int, width: int = 64) -> int:
-    """Unsigned quotient; division by zero yields all-ones (the restoring
-    divider's natural behavior: every compare succeeds)."""
+    """Unsigned quotient as the reference's udivide64.txt computes it
+    (empirically pinned, tools/probe_conventions.py): a NON-RESTORING
+    divider on ``width``-bit two's-complement registers — quotient bit =
+    NOT sign(partial remainder).  Equals true ``a // b`` whenever
+    b in [1, 2^(width-1)); division by zero yields the prefix-sign pattern
+    (all-ones when a < 2^(width-1)).  For b >= 2^(width-1) the reference
+    circuit's output is a synthesis artifact we do not model — the TB
+    keeps its random divisors below that bound."""
     mask = (1 << width) - 1
+    top = 1 << (width - 1)
     a, b = a & mask, b & mask
-    return mask if b == 0 else a // b
+    r = 0
+    q = 0
+    for i in range(width - 1, -1, -1):
+        bit = (a >> i) & 1
+        if r & top:
+            r = (((r << 1) | bit) + b) & mask
+        else:
+            r = (((r << 1) | bit) - b) & mask
+        q |= (0 if (r & top) else 1) << i
+    return q
 
 
 def sdiv(a: int, b: int, width: int = 64) -> int:
-    """Signed quotient truncated toward zero, via |a|/|b| with sign fix —
-    exactly the gen_divide circuit: /0 -> -1 (a>=0) or +1 (a<0);
-    INT_MIN / -1 wraps to INT_MIN."""
+    """Signed quotient truncated toward zero: |a| / |b| through the same
+    non-restoring core with sign fix — matches the reference's divide64.txt
+    on ALL inputs (probed incl. /0 and INT_MIN edge cases): /0 gives -1 for
+    a >= 0 and +1 for a < 0; INT_MIN / -1 wraps to INT_MIN."""
     mask = (1 << width) - 1
     sa = (a >> (width - 1)) & 1
     sb = (b >> (width - 1)) & 1
@@ -489,12 +506,13 @@ def des_encrypt(pt: bytes, key: bytes) -> bytes:
 # IEEE-754 binary64 golden models (reference corpus new_bristol_ckts/fp/
 # FP-{add,mul,eq,f2i}.txt, SURVEY.md §2.9 — data-only there, no TB, no
 # vectors).  Exact integer-arithmetic spec, round-to-nearest-even, full
-# subnormal/inf support; every NaN result is the canonical quiet NaN
-# 0x7FF8000000000000 (tests validate against the host FPU modulo NaN
-# canonicalization, tests/test_fp.py).
+# subnormal/inf support.  Special-value conventions are pinned empirically
+# against the reference circuits (tools/probe_conventions.py): NaN inputs
+# propagate payload+sign with the quiet bit forced (second operand wins),
+# invalid operations (inf-inf, 0*inf, 0/0, inf/inf, sqrt(-x)) produce
+# 0x7FFFFFFFFFFFFFFF, and f2i is saturating round-to-nearest-even.
 # ---------------------------------------------------------------------------
 
-_QNAN = 0x7FF8000000000000
 _F64_MASK = (1 << 64) - 1
 
 
@@ -549,15 +567,29 @@ def _round_pack(sign: int, num: int, d: int) -> int:
     return (sign << 63) | m
 
 
+_FP_INVALID = 0x7FFFFFFFFFFFFFFF  # the reference circuits' invalid-op result
+_FP_QUIET = 1 << 51
+
+
+def _fp_prop_nan(a: int, b: int) -> int:
+    """Reference-circuit NaN propagation (probed against FP-add/FP-mul.txt):
+    the second operand wins when both are NaN; payload and sign are kept,
+    the quiet bit is forced."""
+    src = b if _f64_is_nan(b) else a
+    return src | _FP_QUIET
+
+
 def fp_add(a: int, b: int) -> int:
-    """bit64 + bit64 -> bit64, IEEE-754 RNE."""
+    """bit64 + bit64 -> bit64, IEEE-754 RNE with the reference FP-add.txt's
+    special-value conventions (tools/probe_conventions.py): NaN inputs
+    propagate via _fp_prop_nan; inf + (-inf) -> 0x7FFF...F."""
     if _f64_is_nan(a) or _f64_is_nan(b):
-        return _QNAN
+        return _fp_prop_nan(a, b)
     sa, ea, ma = _f64_fields(a)
     sb, eb, mb = _f64_fields(b)
     if _f64_is_inf(a) or _f64_is_inf(b):
         if _f64_is_inf(a) and _f64_is_inf(b) and sa != sb:
-            return _QNAN
+            return _FP_INVALID
         return a if _f64_is_inf(a) else b
     fa, xa = _f64_sig_exp(a)
     fb, xb = _f64_sig_exp(b)
@@ -571,9 +603,11 @@ def fp_add(a: int, b: int) -> int:
 
 
 def fp_mul(a: int, b: int) -> int:
-    """bit64 * bit64 -> bit64, IEEE-754 RNE."""
+    """bit64 * bit64 -> bit64, IEEE-754 RNE with the reference FP-mul.txt's
+    special-value conventions: NaN propagation via _fp_prop_nan, 0 * inf ->
+    0x7FFF...F."""
     if _f64_is_nan(a) or _f64_is_nan(b):
-        return _QNAN
+        return _fp_prop_nan(a, b)
     sa, ea, ma = _f64_fields(a)
     sb, eb, mb = _f64_fields(b)
     sign = sa ^ sb
@@ -581,7 +615,7 @@ def fp_mul(a: int, b: int) -> int:
     fb, xb = _f64_sig_exp(b)
     if _f64_is_inf(a) or _f64_is_inf(b):
         if (not _f64_is_inf(a) and fa == 0) or (not _f64_is_inf(b) and fb == 0):
-            return _QNAN  # inf * 0
+            return _FP_INVALID  # inf * 0
         return (sign << 63) | (0x7FF << 52)
     num = fa * fb
     if num == 0:
@@ -599,30 +633,39 @@ def fp_eq(a: int, b: int) -> int:
     return int(a == b)
 
 
-_F2I_INDEF = 1 << 63
+_I64_MAX = (1 << 63) - 1
+_I64_MIN = 1 << 63
 
 
 def fp_f2i(a: int) -> int:
-    """double -> int64, truncation toward zero (x86 cvttsd2si semantics:
-    NaN/inf/out-of-range -> 0x8000000000000000)."""
-    if _f64_is_nan(a) or _f64_is_inf(a):
-        return _F2I_INDEF
+    """double -> int64 as the reference FP-f2i.txt computes it (empirically
+    pinned): round-to-nearest-even, saturating — NaN (any sign) and positive
+    overflow/+inf -> INT64_MAX, negative overflow/-inf -> INT64_MIN."""
+    if _f64_is_nan(a):
+        return _I64_MAX
     sa, ea, ma = _f64_fields(a)
-    s = ea - 1023
-    if s < 0:
-        return 0  # |v| < 1 truncates to 0 (subnormals included)
-    if s >= 63:
-        return _F2I_INDEF  # covers -2^63 exactly, whose pattern coincides
-    f = ma | (1 << 52)
-    v = (f << (s - 52)) if s >= 52 else (f >> (52 - s))
-    return (-v if sa else v) & _F64_MASK
+    if _f64_is_inf(a):
+        return _I64_MIN if sa else _I64_MAX
+    f, x = _f64_sig_exp(a)  # |value| = f * 2^x exactly
+    if x >= 0:
+        v = f << x
+    else:
+        sh = -x
+        q, r = f >> sh, f & ((1 << sh) - 1)
+        half = 1 << (sh - 1)
+        v = q + (1 if (r > half or (r == half and (q & 1))) else 0)
+    if not sa:
+        return _I64_MAX if v > _I64_MAX else v
+    return _I64_MIN if v >= _I64_MIN else (-v) & _F64_MASK
 
 
 def fp_div(a: int, b: int) -> int:
     """bit64 / bit64 -> bit64, IEEE-754 RNE (FP-div.txt is a missing blob in
-    the reference; provided here)."""
+    the reference; provided here with the family's special-value
+    conventions: NaN propagation via _fp_prop_nan, 0/0 and inf/inf ->
+    0x7FFF...F)."""
     if _f64_is_nan(a) or _f64_is_nan(b):
-        return _QNAN
+        return _fp_prop_nan(a, b)
     sa, ea, ma = _f64_fields(a)
     sb, eb, mb = _f64_fields(b)
     sign = sa ^ sb
@@ -631,10 +674,10 @@ def fp_div(a: int, b: int) -> int:
     fb, xb = _f64_sig_exp(b)
     if ia or ib:
         if ia and ib:
-            return _QNAN
+            return _FP_INVALID
         return (sign << 63) | ((0x7FF << 52) if ia else 0)
     if fb == 0:
-        return _QNAN if fa == 0 else (sign << 63) | (0x7FF << 52)  # 0/0 | x/0
+        return _FP_INVALID if fa == 0 else (sign << 63) | (0x7FF << 52)  # 0/0 | x/0
     if fa == 0:
         return sign << 63
     # exact quotient as fraction: fa*2^xa / (fb*2^xb); scale numerator so the
@@ -647,15 +690,16 @@ def fp_div(a: int, b: int) -> int:
 
 def fp_sqrt(a: int) -> int:
     """sqrt(bit64) -> bit64, IEEE-754 RNE (FP-sqrt.txt is a missing blob in
-    the reference; provided here).  sqrt(-x) = qNaN, sqrt(-0) = -0."""
+    the reference; provided here with the family's special-value
+    conventions).  sqrt(-x) = 0x7FFF...F (invalid), sqrt(-0) = -0."""
     if _f64_is_nan(a):
-        return _QNAN
+        return _fp_prop_nan(a, a)
     sa, ea, ma = _f64_fields(a)
     fa, xa = _f64_sig_exp(a)
     if fa == 0:
         return sa << 63  # +-0
     if sa:
-        return _QNAN
+        return _FP_INVALID
     if _f64_is_inf(a):
         return a
     # value = fa * 2^xa; make exponent even, take integer sqrt of

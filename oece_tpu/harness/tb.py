@@ -36,19 +36,46 @@ def _prep(fname: str, opt: Options) -> str:
 
 
 def _run(results, fn, fname, opt: Options, n=None, **kw):
-    fname = _prep(fname, opt)
-    r = fn(
-        fname,
-        n or opt.num_test_loops,
-        set=opt.set,
-        method=opt.method,
-        encrypted=not opt.plaintext_only,
-        seed=opt.seed,
-        verbose=opt.verbose,
-        **kw,
-    )
+    try:
+        fname = _prep(fname, opt)
+        r = fn(
+            fname,
+            n or opt.num_test_loops,
+            set=opt.set,
+            method=opt.method,
+            encrypted=not opt.plaintext_only,
+            seed=opt.seed,
+            verbose=opt.verbose,
+            **kw,
+        )
+    except FileNotFoundError as e:
+        # insureFileExists parity (utils.h:57-66): point the user at the fix
+        # instead of a bare traceback.
+        print(
+            f"[ERROR] The file {e.filename or fname} doesn't exist, and is "
+            "required!\n\t*** To correct this, regenerate the corpus "
+            "(python tools/gen_corpus.py) or point $OECE_CIRCUITS at a "
+            "corpus tree; Bristol sources also accept -z/-a ***"
+        )
+        results.append(tl.HarnessResult(
+            name=f"missing[{os.path.basename(fname)}]", n_cases=1,
+            plain_passed=0, enc_passed=0, enc_run=False,
+            bad_gates_fixed=0, seconds=0.0))
+        return
     print(("PASS " if r.passed else "FAIL ") + r.summary())
     results.append(r)
+
+
+def _cases(opt: Options, files):
+    """Reference ``-c`` semantics (TB_adders.cpp:76-93 etc.): when given,
+    run only the first n_cases circuit files of the bench."""
+    files = list(files)
+    if opt.n_cases > 0:
+        if len(files) == 1 and opt.n_cases != 1:
+            print("Note n_cases is ignored for this Test Bench")
+            return files
+        return files[: opt.n_cases]
+    return files
 
 
 def tb_adder_2bit(opt):
@@ -65,19 +92,19 @@ def tb_parity(opt):
 
 def tb_adders(opt):
     out = []
-    for f in ("adder_32bit.txt", "adder_64bit.txt"):
+    for f in _cases(opt, ("adder_32bit.txt", "adder_64bit.txt")):
         _run(out, tl.test_adder, f"{R}/old_bristol_ckts/arith/{f}", opt)
     return out
 
 
 def tb_comparators(opt):
     out = []
-    for f in (
+    for f in _cases(opt, (
         "comparator_32bit_signed_lt.txt",
         "comparator_32bit_signed_lteq.txt",
         "comparator_32bit_unsigned_lt.txt",
         "comparator_32bit_unsigned_lteq.txt",
-    ):
+    )):
         _run(out, tl.test_comparator, f"{R}/old_bristol_ckts/arith/{f}", opt)
     return out
 
@@ -92,7 +119,7 @@ def tb_arith64(opt):
     """New-Bristol 64-bit arith suite (corpus-only in the reference —
     examples/new_bristol_ckts/arith/, SURVEY.md §2.9 — given a real TB here)."""
     out = []
-    for f in (
+    for f in _cases(opt, (
         "adder64.txt",
         "sub64.txt",
         "neg64.txt",
@@ -101,7 +128,7 @@ def tb_arith64(opt):
         "mult2_64.txt",
         "udivide64.txt",
         "divide64.txt",
-    ):
+    )):
         _run(out, tl.test_arith64, f"{R}/new_bristol_ckts/arith/{f}", opt)
     return out
 
@@ -128,7 +155,7 @@ def tb_sha256(opt):
 def tb_aes_sizes(opt):
     """New-Bristol AES-128/192/256 (data-only in the reference; real TB here)."""
     out = []
-    for f in ("aes_128.txt", "aes_192.txt", "aes_256.txt"):
+    for f in _cases(opt, ("aes_128.txt", "aes_192.txt", "aes_256.txt")):
         _run(out, tl.test_aes_new, f"{R}/new_bristol_ckts/crypto/{f}", opt)
     return out
 
@@ -137,8 +164,8 @@ def tb_fp(opt):
     """IEEE-754 binary64 suite (FP-div/FP-sqrt are missing blobs in the
     reference corpus; generated here)."""
     out = []
-    for f in ("FP-add.txt", "FP-mul.txt", "FP-div.txt", "FP-sqrt.txt",
-              "FP-eq.txt", "FP-f2i.txt"):
+    for f in _cases(opt, ("FP-add.txt", "FP-mul.txt", "FP-div.txt",
+                         "FP-sqrt.txt", "FP-eq.txt", "FP-f2i.txt")):
         _run(out, tl.test_fp, f"{R}/new_bristol_ckts/fp/{f}", opt)
     return out
 
@@ -146,7 +173,7 @@ def tb_fp(opt):
 def tb_des(opt):
     """DES expanded/non-expanded (circuit data-only in the reference)."""
     out = []
-    for f in ("DES-expanded.txt", "DES-non-expanded.txt"):
+    for f in _cases(opt, ("DES-expanded.txt", "DES-non-expanded.txt")):
         _run(out, tl.test_des, f"{R}/old_bristol_ckts/crypto/{f}", opt)
     return out
 
@@ -167,7 +194,7 @@ def tb_keccak(opt):
 
 def tb_aes(opt):
     out = []
-    for f in ("AES-expanded.txt", "AES-non-expanded.txt"):
+    for f in _cases(opt, ("AES-expanded.txt", "AES-non-expanded.txt")):
         _run(out, tl.test_aes, f"{R}/old_bristol_ckts/crypto/{f}", opt)
     return out
 

@@ -309,7 +309,11 @@ def test_arith64(fname: str, num_loops: int = 4, **kw) -> HarnessResult:
     """Generic golden-model harness for the new-Bristol arith suite
     (adder64/sub64/neg64/zero_equal/mult64/mult2_64/udivide64/divide64;
     SURVEY.md §2.9), dispatched by filename.  No reference TB covers these —
-    the reference ships them as data only."""
+    the reference ships them as data only.  Interface conventions pinned
+    against the reference files (tools/probe_conventions.py): mult2_64
+    declares TWO 64-bit output words in (high, low) order; udivide64 is a
+    non-restoring divider whose output is well-defined for divisors below
+    2^63 (random divisors are drawn from that domain; /0 is pinned)."""
     base = os.path.basename(fname)
     key = next((k for k in _ARITH64_MODELS if k in base), None)
     if key is None:
@@ -321,15 +325,25 @@ def test_arith64(fname: str, num_loops: int = 4, **kw) -> HarnessResult:
     rng = np.random.default_rng(kw.pop("data_seed", 17))
     a = rng.integers(0, 1 << 64, num_loops, dtype=np.uint64)
     b = rng.integers(0, 1 << 64, num_loops, dtype=np.uint64)
+    if key == "udivide64":
+        b &= np.uint64((1 << 63) - 1)  # see docstring: divisor domain
     if "divide" in key and num_loops >= 2:
         b[1] = 0  # pin a division-by-zero case
     mask = (1 << 64) - 1
     if key == "zero_equal" and num_loops >= 2:
         a[1] = 0  # pin the equal-zero case
     exp_int = [golden(int(x) & mask, int(y) & mask, w) for x, y in zip(a, b)]
-    expected = np.stack([models.int_to_bits(v & ((1 << wo) - 1), wo) for v in exp_int])
+    if key == "mult2_64" and len(nl.output_bits) == 2:
+        expected_words = [
+            np.stack([models.int_to_bits((v >> 64) & mask, 64) for v in exp_int]),
+            np.stack([models.int_to_bits(v & mask, 64) for v in exp_int]),
+        ]
+    else:
+        expected_words = [
+            np.stack([models.int_to_bits(v & ((1 << wo) - 1), wo) for v in exp_int])
+        ]
     in_words = [bits_lsb(a, w)] + ([bits_lsb(b, w)] if n_in == 2 else [])
-    return run_harness(f"arith64[{base}]", fname, in_words, [expected], **kw)
+    return run_harness(f"arith64[{base}]", fname, in_words, expected_words, **kw)
 
 
 def _read_kat(path: str) -> List[tuple]:
@@ -389,15 +403,29 @@ def _fp_operands(num_loops: int, seed: int) -> np.ndarray:
     return np.array(vals[: 2 * num_loops], dtype=np.uint64)
 
 
+_FP_GENS = {
+    "FP-add": "gen_fp_add",
+    "FP-mul": "gen_fp_mul",
+    "FP-div": "gen_fp_div",
+    "FP-sqrt": "gen_fp_sqrt",
+    "FP-eq": "gen_fp_eq",
+    "FP-f2i": "gen_fp_f2i",
+}
+
+
 def test_fp(fname: str, num_loops: int = 4, **kw) -> HarnessResult:
     """IEEE-754 binary64 family (new_bristol_ckts/fp/FP-*.txt; data-only in
-    the reference, with FP-div/FP-sqrt missing blobs — all six generated and
-    golden-checked here).  Operands include NaN/inf/subnormal cases."""
+    the reference, with FP-div/FP-sqrt missing blobs — those two fall back
+    to the circuits/fp.py generators, like sha512/keccak).  Operands include
+    NaN/inf/subnormal cases."""
     base = os.path.basename(fname)
     key = next((k for k in _FP_MODELS if k in base), None)
     if key is None:
         raise ValueError(f"unknown FP circuit {base}")
     n_in, golden = _FP_MODELS[key]
+    from ..circuits import fp as fp_mod
+
+    nl = _load_or_gen(fname, getattr(fp_mod, _FP_GENS[key]))
     ops = _fp_operands(num_loops, kw.pop("data_seed", 21))
     a, b = ops[0::2][:num_loops], ops[1::2][:num_loops]
     if key == "FP-sqrt":
@@ -407,13 +435,15 @@ def test_fp(fname: str, num_loops: int = 4, **kw) -> HarnessResult:
     exp_int = [golden(int(x), int(y)) & mask for x, y in zip(a, b)]
     expected = np.stack([models.int_to_bits(v, 64) for v in exp_int])
     in_words = [bits_lsb(a, 64)] + ([bits_lsb(b, 64)] if n_in == 2 else [])
-    return run_harness(f"fp[{base}]", fname, in_words, [expected], **kw)
+    return run_harness(f"fp[{base}]", fname, in_words, [expected], netlist=nl, **kw)
 
 
 def test_aes_new(fname: str, num_loops: int = 2, **kw) -> HarnessResult:
     """New-Bristol AES trio (aes_{128,192,256}.txt: in1 = key, in2 = block;
     data-only in the reference).  Key size from the circuit header; first
-    vector is the FIPS-197 example for that size."""
+    vector is the FIPS-197 example for that size.  All words use the
+    whole-value little-endian convention (bits_c), pinned empirically
+    against the reference files (tools/probe_conventions.py)."""
     nl = _load(fname)
     kbits = nl.input_bits[0]
     assert kbits in (128, 192, 256), f"unexpected AES key width {kbits}"
@@ -424,9 +454,9 @@ def test_aes_new(fname: str, num_loops: int = 2, **kw) -> HarnessResult:
         pts.append(rng.bytes(16))
         keys.append(rng.bytes(kbits // 8))
     pts, keys = pts[:num_loops], keys[:num_loops]
-    exp = np.stack([bits_d(models.aes_encrypt(p, k)) for p, k in zip(pts, keys)])
-    inp_k = np.stack([bits_d(k) for k in keys])
-    inp_pt = np.stack([bits_d(p) for p in pts])
+    exp = np.stack([bits_c(models.aes_encrypt(p, k)) for p, k in zip(pts, keys)])
+    inp_k = np.stack([bits_c(k) for k in keys])
+    inp_pt = np.stack([bits_c(p) for p in pts])
     return run_harness(
         f"aes[{os.path.basename(fname)}]", fname, [inp_k, inp_pt], [exp], **kw
     )

@@ -127,7 +127,7 @@ def main(root="examples", big=False):
     _w(f"{narith}/neg64.txt", emit_bristol(gen.gen_neg(64), "new"))
     _w(f"{narith}/zero_equal.txt", emit_bristol(gen.gen_zero_equal(64), "new"))
     _w(f"{narith}/mult64.txt", emit_bristol(gen.gen_mult_low(64), "new"))
-    _w(f"{narith}/mult2_64.txt", emit_bristol(gen.gen_multiplier(64), "new"))
+    _w(f"{narith}/mult2_64.txt", emit_bristol(gen.gen_mult2(64), "new"))
     _w(f"{narith}/udivide64.txt", emit_bristol(gen.gen_udivide(64), "new"))
     _w(f"{narith}/divide64.txt", emit_bristol(gen.gen_divide(64), "new"))
 
