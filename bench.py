@@ -28,6 +28,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from oece_tpu.utils.compcache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from oece_tpu.fhe import boot, keycache, lwe
     from oece_tpu.fhe.params import STD128_OPT, TOY, BinFHEMethod, BinGate
 

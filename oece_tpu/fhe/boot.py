@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -40,6 +41,15 @@ from .params import BinFHEParams, BinFHEMethod, BinGate, Q27
 
 # Largest per-kernel-call batch (VMEM bound); bigger batches are chunked.
 PALLAS_MAX_B = 512
+
+# Fully-fused single-kernel CMUX step (pallas_kernels.fused_step_pallas);
+# set OECE_FUSED=0 to fall back to the split matmul + jnp-rotation pipeline.
+USE_FUSED_STEP = os.environ.get("OECE_FUSED", "1") != "0"
+FUSED_MAX_B = 512
+
+# Run Pallas kernels in interpreter mode (tests on the virtual CPU mesh can
+# then exercise the exact production kernel path without a TPU).
+PALLAS_INTERPRET = os.environ.get("OECE_PALLAS_INTERPRET") == "1"
 
 # Fixed gate enumeration for per-gate test-vector / prep-weight tables.
 GATE_ORDER = [
@@ -127,7 +137,9 @@ def pack_bootstrap_key(
     p = bk.params
     Q = p.Q
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",) and p.N % pk.TILE == 0
+        use_pallas = (
+            jax.default_backend() not in ("cpu",) or PALLAS_INTERPRET
+        ) and p.N % pk.TILE == 0
     ginx_kext = ap_kext = ginx_pallas = None
     if bk.method == BinFHEMethod.GINX:
         # [n, parts, rows, out, N]
@@ -193,6 +205,31 @@ def gadget_digits_dev(x: jnp.ndarray, B: int, d: int) -> jnp.ndarray:
     return jnp.stack(digs, axis=-1)
 
 
+def gadget_digits_approx_dev(
+    x: jnp.ndarray, Q: int, B: int, d_eff: int, shift: int
+) -> jnp.ndarray:
+    """Approximate gadget digits (golden.gadget_digits_approx, bit-exact):
+    center mod Q, round away ``shift`` low bits, d_eff signed base-B digits."""
+    c = x - Q * (x >= (Q + 1) // 2).astype(jnp.int32)
+    cur = (c + (1 << (shift - 1))) >> shift  # arithmetic shift = floor div
+    half = B // 2
+    log_b = int(np.log2(B))
+    digs = []
+    for _ in range(d_eff - 1):
+        r = ((cur + half) & (B - 1)) - half
+        digs.append(r.astype(jnp.int8))
+        cur = (cur - r) >> log_b
+    digs.append(cur.astype(jnp.int8))
+    return jnp.stack(digs, axis=-1)
+
+
+def acc_gadget_digits_dev(acc: jnp.ndarray, p: BinFHEParams) -> jnp.ndarray:
+    """Dispatch exact/approximate gadget digits: [..., d_g_used] int8."""
+    if p.d_g_eff:
+        return gadget_digits_approx_dev(acc, p.Q, p.B_g, p.d_g_eff, p.g_shift)
+    return gadget_digits_dev(acc, p.B_g, p.d_g)
+
+
 def signed_digits_dev(x: jnp.ndarray, B: int, d: int) -> jnp.ndarray:
     """All-signed digits (key switching); matches golden.signed_digits."""
     log_b = int(np.log2(B))
@@ -238,9 +275,12 @@ def _acc_init(tv_sel: jnp.ndarray, b2N: jnp.ndarray, N: int, Q: int) -> jnp.ndar
 
 
 def _digits_rbn(acc, p: BinFHEParams):
-    """acc [B, 2, N] -> gadget digits [R=2*d_g, B, N] int8, r = (poly, dig)."""
-    digs = gadget_digits_dev(acc, p.B_g, p.d_g)  # [B, 2, N, d_g]
-    return jnp.transpose(digs, (1, 3, 0, 2)).reshape(2 * p.d_g, acc.shape[0], p.N)
+    """acc [B, 2, N] -> gadget digits [R=2*d_g_used, B, N] int8,
+    r = (poly, dig)."""
+    digs = acc_gadget_digits_dev(acc, p)  # [B, 2, N, d_g_used]
+    return jnp.transpose(digs, (1, 3, 0, 2)).reshape(
+        2 * p.d_g_used, acc.shape[0], p.N
+    )
 
 
 def _external_cmux_pallas(acc, a_col, kwin_i, p: BinFHEParams):
@@ -257,7 +297,7 @@ def _external_cmux_pallas(acc, a_col, kwin_i, p: BinFHEParams):
     B = acc.shape[0]
     digs = _digits_rbn(acc, p)  # [R, B, N]
     dt = pk.pack_digits_for_pallas(digs)  # [nt, B, R*128]
-    P4 = pk.negacyclic_matmul_combine(dt, kwin_i, 2 * p.d_g, Q, max_b=PALLAS_MAX_B)
+    P4 = pk.negacyclic_matmul_combine(dt, kwin_i, 2 * p.d_g_used, Q, max_b=PALLAS_MAX_B)
     P = P4.reshape(B, 2, 2, N)  # [B, part, out, N] mod Q
     c_pos = (2 * N - a_col) & (2 * N - 1)
     rot_pos = monomial_rotate(P[:, 0], c_pos, N, Q)
@@ -276,9 +316,9 @@ def _external_cmux_ginx(acc, a_col, kext_i, idx2n, p: BinFHEParams, tp_axis=None
              the partial products are psum-reduced over ``tp_axis``.
     idx2n  : int32 [N, N] constant gather index (k - i) mod 2N
     """
-    Q, N, d_g, B_g = p.Q, p.N, p.d_g, p.B_g
+    Q, N, d_g = p.Q, p.N, p.d_g_used
     B = acc.shape[0]
-    digs = gadget_digits_dev(acc, B_g, d_g)  # [B, 2, N, d_g]
+    digs = acc_gadget_digits_dev(acc, p)  # [B, 2, N, d_g_used]
     digs = jnp.transpose(digs, (0, 1, 3, 2)).reshape(B, 2 * d_g, N)
     if tp_axis is not None:
         rows_local = kext_i.shape[1]
@@ -309,6 +349,8 @@ def blind_rotate_ginx_dev(
     N = p.N
     if keys.ginx_pallas is not None:
         assert tp_axis is None, "tensor parallelism uses the jnp key layout"
+        if USE_FUSED_STEP:
+            return _blind_rotate_fused(acc, a2N, keys)
 
         def body_pallas(carry, xs):
             a_col, kwin_i = xs
@@ -328,6 +370,36 @@ def blind_rotate_ginx_dev(
     return acc
 
 
+def _blind_rotate_fused(
+    acc: jnp.ndarray, a2N: jnp.ndarray, keys: DeviceBootKeys,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Scan the n CMUX steps as ONE fused Pallas kernel per step; the
+    accumulator stays in the kernel's permuted lane layout across the whole
+    rotation (see pallas_kernels.fused_step_pallas)."""
+    if interpret is None:
+        interpret = PALLAS_INTERPRET
+    p = keys.params
+    N, two_n = p.N, 2 * p.N
+    B = acc.shape[0]
+    accp = pk.permute_lanes(acc)
+    c_pos = (two_n - a2N) & (two_n - 1)
+    amt = jnp.transpose(jnp.stack([c_pos, a2N], axis=2), (1, 0, 2))  # [n,B,2]
+
+    def body(carry, xs):
+        amt_i, kwin_i = xs
+        amt_l = jnp.broadcast_to(amt_i[:, :, None], (B, 2, pk.TILE))
+        out = pk.fused_step_pallas(
+            carry, kwin_i, amt_l,
+            R=2 * p.d_g_used, Q=p.Q, B_g=p.B_g, d_used=p.d_g_used,
+            g_shift=p.g_shift, block_b=FUSED_MAX_B, interpret=interpret,
+        )
+        return out, None
+
+    accp, _ = jax.lax.scan(body, accp, (amt, keys.ginx_pallas))
+    return pk.unpermute_lanes(accp)
+
+
 def blind_rotate_ap_dev(
     acc: jnp.ndarray, a2N: jnp.ndarray, keys: DeviceBootKeys
 ) -> jnp.ndarray:
@@ -338,7 +410,7 @@ def blind_rotate_ap_dev(
     GINX is the performance path (same split as OpenFHE's guidance).
     """
     p = keys.params
-    Q, N, d_g, B_g, B_r, d_r = p.Q, p.N, p.d_g, p.B_g, p.B_r, p.d_r
+    Q, N, d_g, B_r, d_r = p.Q, p.N, p.d_g_used, p.B_r, p.d_r
     B = a2N.shape[0]
     i = jnp.arange(N, dtype=jnp.int32)
     idx2n = (i[None, :] - i[:, None]) & (2 * N - 1)
@@ -351,7 +423,7 @@ def blind_rotate_ap_dev(
         for j in range(d_r):
             v = (na_col >> (j * int(np.log2(B_r)))) & (B_r - 1)  # [B]
             k_sel = jnp.take(ak_i[j], v, axis=0)  # [B, rows, out, L, 2N]
-            digs = gadget_digits_dev(acc, B_g, d_g)
+            digs = acc_gadget_digits_dev(acc, p)
             digs = jnp.transpose(digs, (0, 1, 3, 2)).reshape(B, 2 * d_g, N)
             dense = k_sel[..., idx2n]  # [B, rows, out, L, N, N]
             prod = jnp.einsum(

@@ -44,6 +44,9 @@ class BinFHEContext:
         )
         if seed is not None:
             self._rng = np.random.default_rng(seed)
+        from ..utils.compcache import enable_compilation_cache
+
+        enable_compilation_cache()
         return self
 
     def KeyGen(self) -> golden.LWESecretKey:

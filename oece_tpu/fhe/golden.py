@@ -196,6 +196,32 @@ def gadget_digits(v: np.ndarray, B: int, d: int) -> np.ndarray:
     return digs
 
 
+def gadget_digits_approx(
+    v: np.ndarray, Q: int, B: int, d_eff: int, shift: int
+) -> np.ndarray:
+    """TFHE-style approximate gadget decomposition.
+
+    Center v in (-Q/2, Q/2], round away the low ``shift`` bits, then take
+    ``d_eff`` signed base-B digits:  sum_j dig_j * (B**j * 2**shift)  ==
+    round(center(v) / 2**shift) * 2**shift  =  center(v) - r,  |r| <=
+    2**(shift-1).  Digits lie in [-B/2, B/2] (top digit may hit +B/2 at the
+    extreme boundary), int8-safe for B <= 128.  Bit-identical to the device
+    path (fhe/boot.gadget_digits_approx_dev and the fused Pallas kernel).
+    """
+    v = np.asarray(v, dtype=np.int64)
+    c = np.where(v >= (Q + 1) // 2, v - Q, v)
+    r = (c + (1 << (shift - 1))) >> shift  # floor((c + 2^(s-1)) / 2^s)
+    digs = np.empty(v.shape + (d_eff,), dtype=np.int64)
+    half = B // 2
+    cur = r
+    for j in range(d_eff - 1):
+        dj = ((cur + half) & (B - 1)) - half
+        digs[..., j] = dj
+        cur = (cur - dj) >> int(np.log2(B))
+    digs[..., d_eff - 1] = cur
+    return digs
+
+
 # ---------------------------------------------------------------------------
 # RLWE / RGSW over R_Q = Z_Q[X]/(X^N+1)
 #
@@ -230,8 +256,12 @@ def rlwe_encrypt(
 def rgsw_encrypt(
     params: BinFHEParams, z_ring: np.ndarray, m: np.ndarray | int, rng: np.random.Generator
 ) -> np.ndarray:
-    """RGSW encryption of message m (scalar or ring elt): [2*d_g, 2, N]."""
-    N, Q, d_g, B_g = params.N, params.Q, params.d_g, params.B_g
+    """RGSW encryption of message m (scalar or ring elt): [2*d_g_used, 2, N].
+
+    With the approximate gadget (params.d_g_eff > 0) the gadget values are
+    B_g**j * 2**g_shift and only d_g_eff row pairs exist."""
+    N, Q, B_g = params.N, params.Q, params.B_g
+    d_g, shift = params.d_g_used, params.g_shift
     if np.isscalar(m):
         m_ring = np.zeros(N, dtype=np.int64)
         m_ring[0] = int(m) % Q
@@ -239,7 +269,7 @@ def rgsw_encrypt(
         m_ring = np.asarray(m, dtype=np.int64) % Q
     rows = []
     for j in range(d_g):
-        g = pow(B_g, j, Q)
+        g = (pow(B_g, j, Q) << shift) % Q
         # a-part row: RLWE( -m * g * s )  encoded in the 'a' slot:
         # we use the standard form: row = (a + m*g, a*s + e)  so that
         # <digits(a-part), rows> contributes  m*g*digit  to the a slot.
@@ -249,19 +279,30 @@ def rgsw_encrypt(
         a2 = (a + m_ring * g) % Q
         rows.append(np.stack([a2, b]))
     for j in range(d_g):
-        g = pow(B_g, j, Q)
+        g = (pow(B_g, j, Q) << shift) % Q
         a = rng.integers(0, Q, (N,), dtype=np.int64)
         e = gauss(rng, params.sigma, (N,))
         b = (negacyclic_mul(a, z_ring, Q) + e + m_ring * g) % Q
         rows.append(np.stack([a, b]))
-    return np.stack(rows)  # [2*d_g, 2, N]
+    return np.stack(rows)  # [2*d_g_used, 2, N]
+
+
+def _ep_digits(params: BinFHEParams, poly: np.ndarray) -> np.ndarray:
+    """Gadget digits of one accumulator polynomial (exact or approximate)."""
+    if params.d_g_eff:
+        return gadget_digits_approx(
+            poly % params.Q, params.Q, params.B_g, params.d_g_eff, params.g_shift
+        )
+    return gadget_digits(poly % params.Q, params.B_g, params.d_g)
 
 
 def external_product(params: BinFHEParams, ct: np.ndarray, rgsw: np.ndarray) -> np.ndarray:
-    """RLWE (2,N) ⊡ RGSW (2*d_g,2,N) -> RLWE (2,N) encrypting m_ct * m_rgsw."""
-    Q, d_g, B_g = params.Q, params.d_g, params.B_g
-    da = gadget_digits(ct[0] % Q, B_g, d_g)  # [N, d_g]
-    db = gadget_digits(ct[1] % Q, B_g, d_g)
+    """RLWE (2,N) ⊡ RGSW (2*d_g_used,2,N) -> RLWE (2,N) encrypting
+    m_ct * m_rgsw (up to the approximate-gadget rounding term when
+    params.d_g_eff > 0)."""
+    Q, d_g = params.Q, params.d_g_used
+    da = _ep_digits(params, ct[0])  # [N, d_g_used]
+    db = _ep_digits(params, ct[1])
     acc = np.zeros((2, params.N), dtype=np.int64)
     for j in range(d_g):
         acc = (acc + negacyclic_mul(da[:, j], rgsw[j], Q)) % Q

@@ -28,6 +28,8 @@ def load_or_generate(
     """Returns (sk, bk), reading from / writing to the cache directory."""
     os.makedirs(CACHE_DIR, exist_ok=True)
     tag = f"{params.name}_{method.value}_{seed}"
+    if params.d_g_eff:  # approx-gadget keys have different rows/scales
+        tag += f"_a{params.d_g_eff}"
     path = os.path.join(CACHE_DIR, f"bk_{tag}.npz")
     if os.path.exists(path):
         z = np.load(path)

@@ -243,6 +243,17 @@ def window_matmul_pallas(
     TB = min(block_b, B)
     assert B % TB == 0, (B, TB)
     N = nt * TILE
+    # VMEM guard (ADVICE r1): rev is whole-array resident; with the digs
+    # block (double-buffered) and the int32 dot intermediate it must fit the
+    # compiler budget, else Mosaic fails with an opaque allocation error.
+    resident = (2 * nt - 1) * RT * MT  # rev, int8
+    per_step = 2 * TB * K + TB * MT * 4 + TB * (M // 4) * TILE * 4
+    budget = VMEM_PARAMS.vmem_limit_bytes
+    assert resident + per_step <= budget, (
+        f"window matmul VMEM estimate {resident + per_step} exceeds budget "
+        f"{budget}; use negacyclic_matmul_combine (streamed diagonals) for "
+        f"this parameter set"
+    )
     kernel = functools.partial(
         _window_matmul_kernel, nt=nt, RT=RT, M=M, TB=TB, Q=Q
     )
@@ -283,9 +294,18 @@ def negacyclic_matmul_window(
     rev = build_diagonals_pallas(keys_windows, R, interpret, reverse=True)
     ndiag, _, MT = rev.shape
     rev_flat = rev.reshape(ndiag * RT, MT)
-    out = window_matmul_pallas(
-        digs_rows, rev_flat, nt, R, Q, block_b=max_b, interpret=interpret
-    )
+    # chunk ragged batches (ADVICE r1): kernel blocks must divide the batch
+    step = min(max_b, B)
+    chunks = []
+    for c0 in range(0, B, step):
+        part = digs_rows[c0 : c0 + step]
+        chunks.append(
+            window_matmul_pallas(
+                part, rev_flat, nt, R, Q, block_b=part.shape[0],
+                interpret=interpret,
+            )
+        )
+    out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
     G = MT // TILE // 4
     out5 = out.reshape(B, G, nt, 4, TKW)
     return jnp.transpose(out5, (0, 1, 2, 4, 3)).reshape(B, G, N)
@@ -548,6 +568,295 @@ def cmux_epilogue_pallas(P, acc, amt, Q: int, block_b: int = 256, interpret: boo
         interpret=interpret,
         compiler_params=None if interpret else VMEM_PARAMS,
     )(P, acc, amt_lane)
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused bootstrap step (round 2).
+#
+# One pallas_call per GINX CMUX step: gadget decomposition, the negacyclic
+# key matmul, the limb combine, the per-gate monomial rotations and the CMUX
+# add all run in VMEM; per step only the accumulator [B, 2, N] crosses HBM.
+#
+# The MXU matmul's natural output columns are plane-permuted per 128-tile
+# (true coefficient t = 128k + 4w + j lives at lane 128k + 32j + w; Mosaic
+# cannot bitwidth-cast int32->int8 in true order — measured).  Instead of
+# un-permuting per step, the ACCUMULATOR ITSELF lives in this permuted
+# layout for the whole blind rotation:
+#   * gadget decomposition is elementwise — layout-agnostic;
+#   * the dense key matrix is built in the conjugated basis P^T M P simply
+#     by changing the per-row barrel amount to TILE - trueidx(row)
+#     (trueidx(r) = 4*(r & 31) + (r >> 5)), columns come out permuted
+#     naturally;
+#   * the per-gate monomial rotation becomes a composition of uniform lane
+#     rolls + masked selects (a true-space roll by 2^b maps to 1-3 permuted
+#     rolls — see _roll_true_in_perm);
+#   * permute/unpermute happen ONCE per bootstrap, outside the scan
+#     (permute_lanes / unpermute_lanes below).
+# ---------------------------------------------------------------------------
+
+
+def permute_lanes(x: jnp.ndarray) -> jnp.ndarray:
+    """[..., N] true coefficient order -> fused-kernel permuted order
+    (true t = 128k + 4w + j  ->  lane 128k + 32j + w)."""
+    N = x.shape[-1]
+    nt = N // TILE
+    x5 = x.reshape(*x.shape[:-1], nt, 32, 4)
+    return jnp.swapaxes(x5, -1, -2).reshape(*x.shape)
+
+
+def unpermute_lanes(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of permute_lanes."""
+    N = x.shape[-1]
+    nt = N // TILE
+    x5 = x.reshape(*x.shape[:-1], nt, 4, 32)
+    return jnp.swapaxes(x5, -1, -2).reshape(*x.shape)
+
+
+def _roll_true_in_perm(x, b: int, N: int, j_lane, w_lane):
+    """Right-roll by 2^b in TRUE coefficient space, applied to a
+    permuted-layout array x [..., N] (last axis).  j_lane/w_lane are iota
+    masks of x's shape: j = (lane>>5)&3, w = lane&31."""
+    sh = 1 << b
+    ax = x.ndim - 1
+    if sh % TILE == 0:  # whole permuted tiles move intact
+        return pltpu.roll(x, sh, ax)
+    if sh >= 4:  # true roll by 4m: lanes shift by m within w, tile carry
+        m = sh // 4
+        r_in = pltpu.roll(x, m, ax)
+        r_cross = pltpu.roll(x, 96 + m, ax)
+        return jnp.where(w_lane < m, r_cross, r_in)
+    if sh == 1:
+        r32 = pltpu.roll(x, 32, ax)
+        rm95 = pltpu.roll(x, N - 95, ax)
+        r1 = pltpu.roll(x, 1, ax)
+        return jnp.where(j_lane > 0, r32, jnp.where(w_lane > 0, rm95, r1))
+    # sh == 2
+    r64 = pltpu.roll(x, 64, ax)
+    rm63 = pltpu.roll(x, N - 63, ax)
+    r33 = pltpu.roll(x, 33, ax)
+    return jnp.where(j_lane >= 2, r64, jnp.where(w_lane > 0, rm63, r33))
+
+
+def _monomial_rotate_perm(x, c, N: int, Q: int, lane):
+    """x [..., N] permuted-layout mod Q; c [..., N] lane-replicated rotation
+    amounts in [0, 2N).  Matches boot.monomial_rotate bit-exactly (on the
+    unpermuted view): cyclic half-barrel over N + negacyclic sign fix."""
+    j_lane = (lane >> 5) & 3
+    w_lane = lane & 31
+    t_lane = lane - (lane & 127) + 4 * w_lane + j_lane  # true coefficient
+    cp = c & (N - 1)
+    for b in range(int(np.log2(N))):
+        cand = _roll_true_in_perm(x, b, N, j_lane, w_lane)
+        x = jnp.where((cp & (1 << b)) != 0, cand, x)
+    wrap = (t_lane < cp) ^ (c >= N)
+    return jnp.where(wrap, jnp.where(x == 0, 0, Q - x), x)
+
+
+def _decompose_lanes(col, Q: int, B: int, d_used: int, shift: int):
+    """Gadget digits of one accumulator poly block [TB, N] (permuted layout;
+    elementwise).  Returns a list of d_used int8 [TB, N] digit planes.
+    shift > 0 selects the approximate centered-rounded decomposition
+    (golden.gadget_digits_approx); shift == 0 the exact one
+    (golden.gadget_digits)."""
+    half = B // 2
+    log_b = int(np.log2(B))
+    digs = []
+    if shift > 0:
+        cen = col - Q * (col >= (Q + 1) // 2).astype(jnp.int32)
+        cur = (cen + (1 << (shift - 1))) >> shift
+        for _ in range(d_used - 1):
+            r = ((cur + half) & (B - 1)) - half
+            digs.append(r.astype(jnp.int8))
+            cur = (cur - r) >> log_b
+        digs.append(cur.astype(jnp.int8))
+    else:
+        cur = col
+        for _ in range(d_used - 1):
+            r = cur & (B - 1)
+            r = r - (B * (r >= half)).astype(jnp.int32)
+            digs.append(r.astype(jnp.int8))
+            cur = (cur - r) >> log_b
+        digs.append(cur.astype(jnp.int8))
+    return digs
+
+
+def _fused_step_kernel(
+    acc_ref, win_ref, amt_ref, out_ref, rev_ref, digs_ref, pacc_ref,
+    *, nt, R, M, TB, Q, B_g, d_used, g_shift, N,
+):
+    """Grid (B//TB, nt), k innermost.  One whole GINX CMUX step in VMEM.
+
+    acc_ref : [TB, 2, N] int32 permuted-layout accumulator (block (c,0,0))
+    win_ref : [2*nt-1, 4, R*M*SPANW] int32 packed key windows (resident)
+    amt_ref : [TB, 2, TILE] int32 lane-replicated rotations (c_pos, a_col)
+    out_ref : [TB, 2, N] int32 new accumulator (block (c,0,0))
+    rev_ref : scratch [(2*nt-1)*R*TILE, M*TILE] int8 reversed conjugated
+              diagonal blocks (built once at c==0, k==0)
+    digs_ref: scratch [TB, nt*R*TILE] int8 (built at k==0 per batch chunk)
+    pacc_ref: scratch [TB, M//4, N] int32 combined products (permuted cols)
+    """
+    c = pl.program_id(0)
+    k = pl.program_id(1)
+    TI = TILE
+    RT = R * TILE
+    ndiag = 2 * nt - 1
+    RMW = R * M * SPANW
+
+    # ---- build the conjugated reversed-diagonal dense blocks (once) -------
+    @pl.when((c == 0) & (k == 0))
+    def _build():
+        roww = jax.lax.broadcasted_iota(jnp.int32, (TI, RMW), 0)
+        trueidx = 4 * (roww & 31) + (roww >> 5)  # conjugated row basis
+        amount = TI - trueidx  # per-row left byte shift in [1, 128]
+        v = amount & 3
+        wsh = amount >> 2
+        for d in range(ndiag):
+            x = jnp.broadcast_to(win_ref[d, 0, :], (TI, RMW)).astype(jnp.uint32)
+            for ph in (1, 2, 3):
+                xp = jnp.broadcast_to(win_ref[d, ph, :], (TI, RMW)).astype(
+                    jnp.uint32
+                )
+                x = jnp.where(v == ph, xp, x)
+            for b in range(6):  # word shifts 1..32
+                shw = 1 << b
+                rolled = pltpu.roll(x, RMW - shw, 1)
+                x = jnp.where((wsh & shw) != 0, rolled, x)
+            row0 = (ndiag - 1 - d) * RT  # reversed order
+            for r in range(R):
+                for m in range(M):
+                    x32 = x[:, (r * M + m) * SPANW : (r * M + m) * SPANW + TKW]
+                    planes = [
+                        ((x32 >> jnp.uint32(8 * j)) & jnp.uint32(0xFF)).astype(
+                            jnp.int32
+                        )
+                        for j in range(4)
+                    ]
+                    tile8 = jnp.concatenate(planes, axis=1).astype(jnp.int8)
+                    rev_ref[
+                        row0 + r * TI : row0 + (r + 1) * TI,
+                        m * TILE : (m + 1) * TILE,
+                    ] = tile8
+
+    # ---- gadget-decompose this batch chunk (once per chunk) ---------------
+    @pl.when(k == 0)
+    def _decompose():
+        for p in range(2):
+            col = acc_ref[:, p, :]  # [TB, N]
+            planes = _decompose_lanes(col, Q, B_g, d_used, g_shift)
+            for dgt, plane in enumerate(planes):
+                rr = p * d_used + dgt
+                for j in range(nt):
+                    digs_ref[:, j * RT + rr * TI : j * RT + (rr + 1) * TI] = (
+                        plane[:, j * TI : (j + 1) * TI]
+                    )
+
+    # ---- the MXU contraction for output tile k + fused limb combine -------
+    win_rows = rev_ref[pl.ds((nt - 1 - k) * RT, nt * RT), :]
+    res = jax.lax.dot_general(
+        digs_ref[...],
+        win_rows,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [TB, M*TILE]
+    pacc_ref[:, :, pl.ds(k * TILE, TILE)] = _combine_limbs_tile(
+        res.reshape(TB, M // 4, 4, TILE), Q
+    )
+
+    # ---- epilogue: rotations + CMUX add (last output tile) ----------------
+    # Processed in small batch sub-chunks, one RGSW part at a time, to bound
+    # the barrel's live temporaries (one big [TB,2,2,N] rotation spills the
+    # Mosaic register allocator by >100 MB at TB=512, N=1024 — measured).
+    @pl.when(k == nt - 1)
+    def _epilogue():
+        EB = min(TB, 64)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (EB, 2, N), 2)
+        for s0 in range(0, TB, EB):
+            P0 = pacc_ref[s0 : s0 + EB, 0:2, :]  # part 0: [EB, 2(out), N]
+            P1 = pacc_ref[s0 : s0 + EB, 2:4, :]
+            amt_c = jnp.concatenate(
+                [amt_ref[s0 : s0 + EB]] * (N // TILE), axis=-1
+            )  # [EB, 2, N]
+            rot0 = _monomial_rotate_perm(P0, amt_c[:, 0:1, :], N, Q, lane)
+            rot1 = _monomial_rotate_perm(P1, amt_c[:, 1:2, :], N, Q, lane)
+            y = (
+                acc_ref[s0 : s0 + EB]
+                + rot0
+                + rot1
+                + (2 * Q - P0 - P1)
+            )
+            out_ref[s0 : s0 + EB] = modmath.red31(y, Q)
+
+
+def fused_step_pallas(
+    accp: jnp.ndarray,
+    win: jnp.ndarray,
+    amt: jnp.ndarray,
+    *,
+    R: int,
+    Q: int,
+    B_g: int,
+    d_used: int,
+    g_shift: int,
+    block_b: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One fused GINX CMUX step.
+
+    accp : int32 [B, 2, N] accumulator in permute_lanes layout
+    win  : int32 [2*nt-1, 4, R*M*SPANW] this step's packed key windows
+    amt  : int32 [B, 2, TILE] lane-replicated (c_pos, a_col) in [0, 2N)
+    Returns the new accumulator, same shape/layout.  Bit-exact equal (after
+    unpermute_lanes) to boot._external_cmux_ginx on the jnp key layout.
+    """
+    B, _, N = accp.shape
+    nt = N // TILE
+    ndiag, nph, rmw = win.shape
+    assert ndiag == 2 * nt - 1 and nph == 4
+    M = rmw // SPANW // R
+    RT = R * TILE
+    TB = min(block_b, B)
+    while B % TB:  # pick the largest power-of-two-ish divisor <= block_b
+        TB -= 1 if TB % 2 else TB // 2
+    # VMEM budget guard: resident rev + per-chunk blocks must fit
+    resident = ndiag * RT * M * TILE + 4 * ndiag * nph * rmw
+    per_chunk = (
+        TB * nt * RT  # digs
+        + 4 * TB * (M // 4) * N  # pacc
+        + 2 * 4 * TB * 2 * N  # acc in + out
+        + 4 * TB * M * TILE  # dot result
+        + 4 * 4 * TB * 2 * 2 * N  # epilogue temporaries (est.)
+    )
+    assert resident + per_chunk <= VMEM_PARAMS.vmem_limit_bytes, (
+        f"fused step VMEM estimate {(resident + per_chunk) >> 20} MiB "
+        f"exceeds budget; reduce block_b (got {TB})"
+    )
+    kernel = functools.partial(
+        _fused_step_kernel,
+        nt=nt, R=R, M=M, TB=TB, Q=Q, B_g=B_g, d_used=d_used,
+        g_shift=g_shift, N=N,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B // TB, nt),
+        in_specs=[
+            pl.BlockSpec((TB, 2, N), lambda c, k: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (ndiag, 4, rmw), lambda c, k: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((TB, 2, TILE), lambda c, k: (c, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TB, 2, N), lambda c, k: (c, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 2, N), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((ndiag * RT, M * TILE), jnp.int8),
+            pltpu.VMEM((TB, nt * RT), jnp.int8),
+            pltpu.VMEM((TB, M // 4, N), jnp.int32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else VMEM_PARAMS,
+    )(accp, win, amt)
 
 
 def pack_digits_for_pallas(digs: jnp.ndarray) -> jnp.ndarray:

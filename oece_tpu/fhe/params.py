@@ -95,12 +95,33 @@ class BinFHEParams:
     B_r: int
     sigma: float
     secret: str = "ternary"
+    # Approximate gadget decomposition (TFHE-style): keep only the top
+    # ``d_g_eff`` digits of the centered-and-rounded accumulator; the dropped
+    # low bits become a small uniform noise term (bounded by 2**(g_shift-1)
+    # per coefficient per external product — see NOISE.md).  0 = exact.
+    # Halves the blind-rotation MXU work at STD128 (R = 2*d_g_used rows).
+    d_g_eff: int = 0
 
     # ---- derived quantities -------------------------------------------------
     @property
     def d_g(self) -> int:
-        """Number of gadget digits covering Q."""
+        """Number of gadget digits covering Q exactly."""
         return int(math.ceil(math.log2(self.Q) / math.log2(self.B_g)))
+
+    @property
+    def d_g_used(self) -> int:
+        """Gadget digits actually used (approximate when d_g_eff > 0)."""
+        return self.d_g_eff or self.d_g
+
+    @property
+    def g_shift(self) -> int:
+        """Low bits dropped by the approximate decomposition (0 = exact).
+
+        The gadget values become B_g**j * 2**g_shift, covering [0, Q) after
+        centered rounding by 2**g_shift."""
+        if not self.d_g_eff:
+            return 0
+        return int(math.ceil(math.log2(self.Q))) - self.log_B_g * self.d_g_eff
 
     @property
     def d_ks(self) -> int:
@@ -131,6 +152,14 @@ class BinFHEParams:
         assert self.Q % (2 * self.N) == 1, "Q must be ≡ 1 mod 2N (negacyclic NTT)"
         assert _is_prime(self.Q), "Q must be prime"
         assert self.secret in ("ternary", "binary")
+        if self.d_g_eff:
+            assert 0 < self.d_g_eff <= self.d_g
+            assert self.g_shift >= 0
+            # centered-rounded digits must stay int8-safe: |v| <= 2**(bits-1)
+            # where bits = ceil(log2 Q) - g_shift = log_B_g * d_g_eff, and the
+            # top digit then lies in [-B_g/2, B_g/2] (see golden.gadget_digits
+            # docstring for the boundary case).
+            assert self.B_g ** self.d_g_eff * 2 ** self.g_shift >= self.Q
 
 
 # ---------------------------------------------------------------------------
@@ -185,7 +214,11 @@ STD128 = BinFHEParams(
 )
 
 # "Optimized" 128-bit set: slightly reduced LWE dimension, matching the
-# reference's default CLI choice (src/utils.cpp:137, TB_*.cpp:83).
+# reference's default CLI choice (src/utils.cpp:137, TB_*.cpp:83).  The
+# d_g_eff=2 approximate gadget decomposition is the "OPT" part here: it
+# halves the blind-rotation matmul (R = 4 digit rows instead of 8) while the
+# dropped-bits noise (uniform, <= 2**12 per coefficient per step) stays far
+# below the key-noise floor — measured failure rates in NOISE.md.
 STD128_OPT = BinFHEParams(
     name="STD128_OPT",
     n=502,
@@ -198,9 +231,14 @@ STD128_OPT = BinFHEParams(
     B_r=1 << 5,
     sigma=3.19,
     secret="ternary",
+    d_g_eff=2,  # g_shift = 27 - 7*2 = 13
 )
 
-PARAM_SETS = {p.name: p for p in (MICRO, TOY, STD128, STD128_OPT)}
+# MICRO-scale twin of the approximate-decomposition path (affordable golden
+# differential tests of d_g_eff > 0; MICRO itself keeps the exact gadget).
+MICRO_A = dataclasses.replace(MICRO, name="MICRO_A", d_g_eff=2)
+
+PARAM_SETS = {p.name: p for p in (MICRO, MICRO_A, TOY, STD128, STD128_OPT)}
 
 
 def get_params(name: str) -> BinFHEParams:

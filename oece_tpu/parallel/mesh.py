@@ -44,16 +44,28 @@ def make_mesh(n_devices: Optional[int] = None, tp: int = 1) -> Mesh:
 
 
 def shard_bootstrap_keys(keys: boot.DeviceBootKeys, mesh: Mesh) -> boot.DeviceBootKeys:
-    """Place keys on the mesh: rows/contraction axes sharded over tp,
-    replicated over dp."""
+    """Place keys on the mesh.
+
+    jnp layout (ginx_kext): RGSW rows / key-switch contraction sharded over
+    ``tp``, replicated over ``dp``.
+    Pallas layout (ginx_pallas): keys fully replicated (dp-only parallelism;
+    the fused kernel owns the whole contraction on each device).
+    """
     assert keys.method == BinFHEMethod.GINX, "tp sharding targets GINX"
     from jax.sharding import NamedSharding
 
+    tv = jax.device_put(keys.tv_table, NamedSharding(mesh, P()))
+    if keys.ginx_pallas is not None:
+        gp = jax.device_put(keys.ginx_pallas, NamedSharding(mesh, P()))
+        ksk = jax.device_put(keys.ksk, NamedSharding(mesh, P()))
+        return boot.DeviceBootKeys(
+            params=keys.params, method=keys.method, ginx_kext=None,
+            ap_kext=None, ksk=ksk, tv_table=tv, ginx_pallas=gp,
+        )
     kext = jax.device_put(
         keys.ginx_kext, NamedSharding(mesh, P(None, None, "tp", None, None, None))
     )
     ksk = jax.device_put(keys.ksk, NamedSharding(mesh, P("tp", None, None)))
-    tv = jax.device_put(keys.tv_table, NamedSharding(mesh, P()))
     return boot.DeviceBootKeys(
         params=keys.params, method=keys.method, ginx_kext=kext,
         ap_kext=None, ksk=ksk, tv_table=tv,
@@ -61,20 +73,57 @@ def shard_bootstrap_keys(keys: boot.DeviceBootKeys, mesh: Mesh) -> boot.DeviceBo
 
 
 def make_sharded_gate_fn(keys: boot.DeviceBootKeys, mesh: Mesh):
-    """Return a jitted fn(gids, c1, c2) evaluating gates dp×tp-sharded.
+    """Return a jitted fn(gids, c1, c2) evaluating gates sharded over the
+    mesh.  The batch must be divisible by the dp size.
 
-    The batch must be divisible by the dp size.  Keys should already be
-    placed with shard_bootstrap_keys (the shard_map in_specs slice them
-    logically either way).
+    Two key layouts (boot.pack_bootstrap_key):
+      * Pallas layout (TPU hot path): dp-only — keys replicated, every
+        device runs the fused bootstrap kernel on its batch shard (requires
+        mesh tp == 1; the fused kernel owns the full contraction).
+      * jnp layout: dp × tp — RGSW-row and key-switch contractions sharded
+        over tp with per-step psums riding ICI.
     """
     p = keys.params
     method = keys.method
+    tp = mesh.shape["tp"]
+
+    if keys.ginx_pallas is not None:
+        assert tp == 1, (
+            "the Pallas key layout shards dp-only; build the mesh with tp=1 "
+            "or pack keys with use_pallas=False for tensor parallelism"
+        )
+
+        def local_fn_pallas(gp, ksk, tv, gids, c1, c2):
+            lkeys = boot.DeviceBootKeys(
+                params=p, method=method, ginx_kext=None, ap_kext=None,
+                ksk=ksk, tv_table=tv, ginx_pallas=gp,
+            )
+            return boot.eval_bin_gate_batch(lkeys, gids, c1, c2)
+
+        smapped = shard_map(
+            local_fn_pallas,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P("dp"), P("dp", None), P("dp", None)),
+            out_specs=P("dp", None),
+            # pallas_call's out_shape carries no varying-mesh-axes info
+            check_vma=False,
+        )
+
+        @jax.jit
+        def fn_pallas(gids, c1, c2):
+            return smapped(
+                keys.ginx_pallas, keys.ksk, keys.tv_table, gids, c1, c2
+            )
+
+        return fn_pallas
 
     def local_fn(kext, ksk, tv, gids, c1, c2):
         lkeys = boot.DeviceBootKeys(
             params=p, method=method, ginx_kext=kext, ap_kext=None,
             ksk=ksk, tv_table=tv,
         )
+        # always reduce over tp (a size-1 psum is a no-op and keeps the
+        # scan carry's varying-axes type consistent)
         return boot.eval_bin_gate_batch(lkeys, gids, c1, c2, tp_axis="tp")
 
     smapped = shard_map(

@@ -84,6 +84,7 @@ class Circuit:
         generate_keys: bool = True,
         xor_mode: str = "native",
         verbose: bool = False,
+        mesh=None,
     ):
         self.params = get_params(set) if isinstance(set, str) else set
         self.method = (
@@ -97,16 +98,31 @@ class Circuit:
         self.verbose = verbose
         if set == "TOY" or getattr(self.params, "name", "") in ("TOY", "MICRO"):
             print(f"WARNING: {self.params.name} parameters have NO security")
+        from ..utils.compcache import enable_compilation_cache
+
+        enable_compilation_cache()
 
         self._rng = np.random.default_rng(seed)
         self.sk: Optional[golden.LWESecretKey] = None
         self.bk: Optional[golden.BootstrapKey] = None
         self.dkeys: Optional[boot.DeviceBootKeys] = None
+        # Device-mesh parallelism (the reference's whole-runtime OpenMP gate
+        # parallelism, circuit.cpp:698-710, mapped to a dp[×tp] JAX mesh):
+        # every level's gate×case batch is sharded over ``dp``; with the jnp
+        # key layout a ``tp`` axis additionally shards the crypto
+        # contractions (parallel/mesh.py).
+        self.mesh = mesh
+        self._sharded_gate_fn = None
         if generate_keys:
             t0 = time.time()
             self.sk = golden.lwe_keygen(self.params, self._rng)
             self.bk = golden.bootstrap_keygen(self.params, self.sk, self._rng, self.method)
-            self.dkeys = boot.pack_bootstrap_key(self.bk)
+            use_pallas = None
+            if mesh is not None and mesh.shape.get("tp", 1) > 1:
+                use_pallas = False  # tp shards the jnp key layout
+            self.dkeys = boot.pack_bootstrap_key(self.bk, use_pallas=use_pallas)
+            if mesh is not None:
+                self.setMesh(mesh)
             if verbose:
                 print(f"# key generation: {time.time() - t0:.1f}s")
 
@@ -148,6 +164,26 @@ class Circuit:
         self.netlist = nl
         self.plan = levelize(nl)
         self.Reset()
+
+    # -- parallelism ---------------------------------------------------------
+    def setMesh(self, mesh) -> None:
+        """Attach a jax.sharding.Mesh: every level's bootstrap batch is
+        sharded over its ``dp`` axis (keys replicated for the Pallas layout,
+        tp-sharded for the jnp layout — parallel/mesh.py)."""
+        from ..parallel import mesh as mesh_mod
+
+        self.mesh = mesh
+        if self.dkeys is not None and mesh is not None:
+            self.dkeys = mesh_mod.shard_bootstrap_keys(self.dkeys, mesh)
+            self._sharded_gate_fn = mesh_mod.make_sharded_gate_fn(self.dkeys, mesh)
+
+    def _dp(self) -> int:
+        return 1 if self.mesh is None else int(self.mesh.shape.get("dp", 1))
+
+    def _gate_batch(self, gids, c1, c2):
+        if self._sharded_gate_fn is not None:
+            return self._sharded_gate_fn(gids, c1, c2)
+        return _jit_gate_batch(self.dkeys, gids, c1, c2)
 
     # -- mode setters (circuit.cpp:819-842 parity) --------------------------
     def setPlaintext(self, flag: bool) -> None:
@@ -352,7 +388,7 @@ class Circuit:
             [boot.GATE_INDEX[_OP_TO_GATE[Op(int(o))]] for o in ops], dtype=np.int32
         )
         B = W * T
-        Bpad = _round_up_pow2(B)
+        Bpad = _round_up_pow2(B, lo=max(32, self._dp()))
         arena = self._ct_arena
         c1 = arena[in0].reshape(B, -1)
         c2 = arena[in1].reshape(B, -1)
@@ -362,7 +398,7 @@ class Circuit:
             c1 = jnp.concatenate([c1, jnp.zeros((pad, c1.shape[1]), c1.dtype)])
             c2 = jnp.concatenate([c2, jnp.zeros((pad, c2.shape[1]), c2.dtype)])
             gids = jnp.concatenate([gids, jnp.zeros((pad,), gids.dtype)])
-        out = _jit_gate_batch(self.dkeys, gids, c1, c2)[:B]
+        out = self._gate_batch(gids, c1, c2)[:B]
         self._bootstraps_run += B
         out = out.reshape(W, T, -1)
 
@@ -388,7 +424,7 @@ class Circuit:
         or_id = boot.GATE_INDEX[BinGate.OR]
         both_c1 = jnp.concatenate([a, na])
         both_c2 = jnp.concatenate([nb, b])
-        Bp = _round_up_pow2(2 * B)
+        Bp = _round_up_pow2(2 * B, lo=max(32, self._dp()))
         gids = jnp.full((Bp,), and_id, dtype=jnp.int32)
         if Bp != 2 * B:
             both_c1 = jnp.concatenate(
@@ -397,14 +433,14 @@ class Circuit:
             both_c2 = jnp.concatenate(
                 [both_c2, jnp.zeros((Bp - 2 * B, both_c2.shape[1]), both_c2.dtype)]
             )
-        ands = _jit_gate_batch(self.dkeys, gids, both_c1, both_c2)[: 2 * B]
+        ands = self._gate_batch(gids, both_c1, both_c2)[: 2 * B]
         t1, t2 = ands[:B], ands[B:]
-        Bp = _round_up_pow2(B)
+        Bp = _round_up_pow2(B, lo=max(32, self._dp()))
         gids = jnp.full((Bp,), or_id, dtype=jnp.int32)
         if Bp != B:
             t1 = jnp.concatenate([t1, jnp.zeros((Bp - B, t1.shape[1]), t1.dtype)])
             t2 = jnp.concatenate([t2, jnp.zeros((Bp - B, t2.shape[1]), t2.dtype)])
-        out = _jit_gate_batch(self.dkeys, gids, t1, t2)[:B]
+        out = self._gate_batch(gids, t1, t2)[:B]
         self._bootstraps_run += 3 * B
         # XNOR: final linear NOT
         xnor_m = np.repeat(ops == int(Op.XNOR), T)

@@ -1,0 +1,84 @@
+"""Multi-device circuit evaluation (VERDICT r1 item 2): Clock() a real
+circuit with the level batches sharded over a dp[xtp] mesh on the virtual
+8-device CPU backend, for both key layouts.
+
+Reference analogue: the whole-runtime OpenMP gate parallelism of
+circuit.cpp:698-710 — here the parallelism covers the full Circuit engine,
+not just a raw gate batch.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from oece_tpu.parallel.mesh import make_mesh
+from oece_tpu.runtime.evaluator import Circuit
+
+ADDER = os.path.join(
+    os.path.dirname(__file__), "..", "examples", "simple_ckts",
+    "adder_2bit", "adder_2bit.out",
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh"
+)
+
+
+def _run_adder(mesh, use_pallas_interpret=False, monkeypatch=None):
+    if use_pallas_interpret:
+        from oece_tpu.fhe import boot
+
+        monkeypatch.setattr(boot, "PALLAS_INTERPRET", True)
+    circ = Circuit(set="MICRO", method="GINX", seed=0, mesh=mesh)
+    circ.ReadFile(ADDER)
+    circ.setVerify(True)
+    T = 4
+    rng = np.random.default_rng(5)
+    in1 = rng.integers(0, 2, (T, 2))
+    in2 = rng.integers(0, 2, (T, 2))
+    circ.SetInput([in1, in2])
+    circ.Clock()
+    (out,) = circ.GetOutput()
+    # LSB-first bit words: check the 2-bit + 2-bit = 3-bit sum
+    v1 = in1 @ (1 << np.arange(2))
+    v2 = in2 @ (1 << np.arange(2))
+    want = v1 + v2
+    got = out @ (1 << np.arange(out.shape[1]))
+    assert np.array_equal(got, want), (got, want)
+    assert circ.bad_gate_counts == {}, circ.bad_gate_counts
+
+
+def test_circuit_dp_tp_jnp_layout():
+    mesh = make_mesh(8, tp=2)  # dp=4 x tp=2, jnp key layout
+    _run_adder(mesh)
+
+
+def test_circuit_dp_pallas_layout(monkeypatch):
+    """dp-only mesh with the Pallas key layout — the exact production TPU
+    path (fused kernel under shard_map), run via the Pallas interpreter."""
+    mesh = make_mesh(8, tp=1)  # dp=8
+    _run_adder(mesh, use_pallas_interpret=True, monkeypatch=monkeypatch)
+
+
+def test_circuit_mesh_matches_single_device():
+    """Sharded evaluation is bit-identical on outputs to the unsharded one
+    (same keys/seed)."""
+    rng_in = np.random.default_rng(6)
+    in1 = rng_in.integers(0, 2, (2, 2))
+    in2 = rng_in.integers(0, 2, (2, 2))
+
+    def run(mesh):
+        c = Circuit(set="MICRO", method="GINX", seed=1, mesh=mesh)
+        c.ReadFile(ADDER)
+        c.setPlaintext(False)
+        c.setEncrypted(True)
+        c.SetInput([in1, in2])
+        c.Clock()
+        return c.GetOutput()[0]
+
+    a = run(None)
+    b = run(make_mesh(8, tp=2))
+    assert np.array_equal(a, b)

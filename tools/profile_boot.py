@@ -1,10 +1,4 @@
-"""Dev tool: per-component timing of the STD128_OPT GINX bootstrap on TPU.
-
-Times (a) the full gate bootstrap, (b) the blind-rotate scan alone,
-(c) the Pallas matmul alone at exact shapes, (d) a scan without the
-monomial rotations, (e) a scan without digit extraction — isolating the
-MXU matmul from the VPU glue.
-"""
+"""Dev tool: isolate production _external_cmux_pallas step costs on TPU."""
 
 import sys
 import time
@@ -15,151 +9,146 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from oece_tpu.fhe import boot, keycache, lwe, modmath
+from oece_tpu.fhe import boot, keycache, modmath
 from oece_tpu.fhe import pallas_kernels as pk
 from oece_tpu.fhe.params import STD128_OPT, BinFHEMethod
 
 p = STD128_OPT
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+N, Q = p.N, p.Q
+nt = N // pk.TILE
+R = 2 * p.d_g
+NSTEP = p.n
 
 sk, bk = keycache.load_or_generate(p, BinFHEMethod.GINX, 0)
 dkeys = boot.pack_bootstrap_key(bk)
-print("keys ready", flush=True)
+kw = dkeys.ginx_pallas  # [n, ndiag, 4, RM*SPANW]
 
 rng = np.random.default_rng(0)
-m1 = rng.integers(0, 2, B)
-m2 = rng.integers(0, 2, B)
-c1 = jnp.asarray(lwe.encrypt_bits(sk, m1, rng))
-c2 = jnp.asarray(lwe.encrypt_bits(sk, m2, rng))
-gids = jnp.asarray(rng.integers(0, 6, B).astype(np.int32))
+acc0 = jnp.asarray(rng.integers(0, Q, (B, 2, N)).astype(np.int32))
+a2N = jnp.asarray(rng.integers(0, 2 * N, (B, NSTEP)).astype(np.int32))
 
 
 def _sync(out):
-    # block_until_ready is unreliable through the axon tunnel; a host
-    # transfer of one leaf is the true barrier (same as bench.py).
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf)
+    # axon tunnel: block_until_ready does NOT wait for remote execution;
+    # a device->host copy is the only reliable sync.
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
 
 
-def timeit(name, fn, *args, reps=3):
+def timeit(name, fn, *args, reps=2):
     _sync(fn(*args))
     t0 = time.time()
     for _ in range(reps):
         out = fn(*args)
     _sync(out)
     dt = (time.time() - t0) / reps
-    print(f"{name:28s} {dt*1e3:9.1f} ms   ({B/dt:8.1f} boots/s)", flush=True)
+    print(f"{name:36s} {dt*1e3:8.1f} ms  {dt/NSTEP*1e6:8.1f} us/step", flush=True)
     return dt
 
 
-full = jax.jit(boot.eval_bin_gate_batch)
-timeit("full gate bootstrap", full, dkeys, gids, c1, c2)
-
-
+# A. full production step scan
 @jax.jit
-def rot_only(dkeys, gids, c1, c2):
-    prep = boot.prepare_gates(c1, c2, gids, p.q)
-    ct2N = boot._mod_switch_pow2(prep, 10, 11)
-    a2N, b2N = ct2N[:, :-1], ct2N[:, -1]
-    tv_sel = jnp.take(dkeys.tv_table, gids, axis=0)
-    acc = boot._acc_init(tv_sel, b2N, p.N, p.Q)
-    return boot.blind_rotate_ginx_dev(acc, a2N, dkeys)
-
-
-timeit("blind-rotate scan only", rot_only, dkeys, gids, c1, c2)
-
-# scan body without monomial rotations (matmul + digits + recombine only)
-def cmux_norot(acc, a_col, kwin_i):
-    digs = boot._digits_rbn(acc, p)
-    dt = pk.pack_digits_for_pallas(digs)
-    prod = pk.negacyclic_matmul_split(dt, kwin_i, 2 * p.d_g, max_b=boot.PALLAS_MAX_B)
-    prod = prod.reshape(B, 2, 2, modmath.N_LIMBS, p.N)
-    prod = jnp.transpose(prod, (0, 1, 2, 4, 3))
-    P = modmath.combine_limbs_mod_q(prod, p.Q)
-    y = acc + P[:, 0] + P[:, 1]
-    return modmath.red31(y, p.Q)
-
-
-@jax.jit
-def scan_norot(dkeys, gids, c1, c2):
-    prep = boot.prepare_gates(c1, c2, gids, p.q)
-    ct2N = boot._mod_switch_pow2(prep, 10, 11)
-    a2N, b2N = ct2N[:, :-1], ct2N[:, -1]
-    tv_sel = jnp.take(dkeys.tv_table, gids, axis=0)
-    acc = boot._acc_init(tv_sel, b2N, p.N, p.Q)
-
+def scan_full(acc0, a2N, kw):
     def body(carry, xs):
-        a_col, kwin_i = xs
-        return cmux_norot(carry, a_col, kwin_i), None
+        a_col, kwin = xs
+        return boot._external_cmux_pallas(carry, a_col, kwin, p), None
 
-    acc, _ = jax.lax.scan(body, acc, (a2N.T, dkeys.ginx_pallas))
-    return acc
+    return jax.lax.scan(body, acc0, (a2N.T, kw))[0]
 
 
-timeit("scan w/o rotations", scan_norot, dkeys, gids, c1, c2)
+timeit("A: full cmux step scan", scan_full, acc0, a2N, kw)
 
-# scan body: matmul only (fixed digits, no decompose / recombine / rotate)
-digs0 = jnp.zeros((2 * p.d_g, B, p.N), jnp.int8)
-dt0 = pk.pack_digits_for_pallas(digs0)
+
+# B. digits+pack+matmul_combine+reshape only (carry-coupled via P sum)
+@jax.jit
+def scan_mm(acc0, kw):
+    def body(carry, kwin):
+        digs = boot._digits_rbn(carry, p)
+        dt = pk.pack_digits_for_pallas(digs)
+        P4 = pk.negacyclic_matmul_combine(dt, kwin, R, Q, max_b=boot.PALLAS_MAX_B)
+        P = P4.reshape(B, 2, 2, N)
+        return modmath.red31(carry + P[:, 0], Q), None
+
+    return jax.lax.scan(body, acc0, kw)[0]
+
+
+timeit("B: digits+pack+matmul+combine", scan_mm, acc0, kw)
+
+
+# C. rotations + add + red only
+@jax.jit
+def scan_rot(acc0, a2N):
+    P = jnp.stack([acc0, acc0], axis=1)
+
+    def body(carry, a_col):
+        c_pos = (2 * N - a_col) & (2 * N - 1)
+        rot_pos = boot.monomial_rotate(P[:, 0], c_pos, N, Q)
+        rot_neg = boot.monomial_rotate(carry, a_col, N, Q)
+        y = carry + rot_pos + rot_neg + (2 * Q - P[:, 0] - P[:, 1])
+        return modmath.red31(y, Q), None
+
+    return jax.lax.scan(body, acc0, a2N.T)[0]
+
+
+timeit("C: rotations+add+red", scan_rot, acc0, a2N)
+
+
+# D. matmul_combine kernel alone (static digits, carry-perturbed)
+digs0 = pk.pack_digits_for_pallas(boot._digits_rbn(acc0, p))
 
 
 @jax.jit
-def scan_matmul(dkeys, dt0):
-    def body(carry, kwin_i):
-        prod = pk.negacyclic_matmul_split(
-            carry, kwin_i, 2 * p.d_g, max_b=boot.PALLAS_MAX_B
-        )
-        return dt0, prod[0, 0, :1]
+def scan_mm_only(digs0, kw):
+    def body(carry, kwin):
+        d = jnp.where(carry < 0, -digs0, digs0)
+        P4 = pk.negacyclic_matmul_combine(d, kwin, R, Q, max_b=boot.PALLAS_MAX_B)
+        return jnp.minimum(carry + P4[0, 0, :1].sum(), jnp.int32(0)), None
 
-    _, outs = jax.lax.scan(body, dt0, dkeys.ginx_pallas)
-    return outs
+    return jax.lax.scan(body, jnp.int32(0), kw)[0]
 
 
-timeit("scan matmul only", scan_matmul, dkeys, dt0)
-
-# single-call pieces (amortized per n steps)
-kwin0 = dkeys.ginx_pallas[0]
+timeit("D: matmul_combine only", scan_mm_only, digs0, kw)
 
 
+# E. unpermute cost check: combine WITHOUT the final transpose
 @jax.jit
-def one_matmul(dt0, kwin0):
-    return pk.negacyclic_matmul_split(dt0, kwin0, 2 * p.d_g, max_b=boot.PALLAS_MAX_B)
+def scan_mm_noperm(digs0, kw):
+    def body(carry, kwin):
+        d = jnp.where(carry < 0, -digs0, digs0)
+        dense_all = pk.build_diagonals_pallas(kwin, R)
+        out = pk.diag_matmul_combine_pallas(d[:, :512], dense_all, R, Q)
+        out2 = pk.diag_matmul_combine_pallas(d[:, 512:], dense_all, R, Q)
+        return jnp.minimum(carry + out[0, 0, :1].sum() + out2[0, 0, :1].sum(), jnp.int32(0)), None
+
+    return jax.lax.scan(body, jnp.int32(0), kw)[0]
 
 
-d = timeit("one matmul call", one_matmul, dt0, kwin0, reps=10)
-print(f"  -> x{p.n} steps = {d*p.n*1e3:.0f} ms", flush=True)
+if B == 1024:
+    timeit("E: build+matmul+combine, no perm", scan_mm_noperm, digs0, kw)
 
 
+# F. build alone
 @jax.jit
-def one_build(kwin0):
-    return pk.build_diagonals_pallas(kwin0, 2 * p.d_g)
+def scan_build(kw):
+    def body(carry, kwin):
+        dense = pk.build_diagonals_pallas(kwin, R)
+        return carry + dense[0, 0, :1].astype(jnp.int32).sum(), None
+
+    return jax.lax.scan(body, jnp.int32(0), kw)[0]
 
 
-d = timeit("one diagonal build", one_build, kwin0, reps=10)
-print(f"  -> x{p.n} steps = {d*p.n*1e3:.0f} ms", flush=True)
-
-acc0 = jnp.zeros((B, 2, p.N), jnp.int32)
+timeit("F: diag build only", scan_build, kw)
 
 
+# G. plain v1-style matmul (no combine) for comparison
 @jax.jit
-def one_digits(acc0):
-    return pk.pack_digits_for_pallas(boot._digits_rbn(acc0, p))
+def scan_mm_plain(digs0, kw):
+    def body(carry, kwin):
+        d = jnp.where(carry < 0, -digs0, digs0)
+        out = pk.negacyclic_matmul_split(d, kwin, R, max_b=boot.PALLAS_MAX_B)
+        return jnp.minimum(carry + out[0, 0, :1].sum(), jnp.int32(0)), None
+
+    return jax.lax.scan(body, jnp.int32(0), kw)[0]
 
 
-d = timeit("digits+pack", one_digits, acc0, reps=10)
-print(f"  -> x{p.n} steps = {d*p.n*1e3:.0f} ms", flush=True)
-
-a_col = jnp.ones((B,), jnp.int32)
-P0 = jnp.zeros((B, 2, p.N), jnp.int32)
-
-
-@jax.jit
-def one_rots(P0, a_col):
-    c_pos = (2 * p.N - a_col) & (2 * p.N - 1)
-    r1 = boot.monomial_rotate(P0[:, 0], c_pos, p.N, p.Q)
-    r2 = boot.monomial_rotate(P0[:, 1], a_col, p.N, p.Q)
-    return r1 + r2
-
-
-d = timeit("2 monomial rotations", one_rots, P0, a_col, reps=10)
-print(f"  -> x{p.n} steps = {d*p.n*1e3:.0f} ms", flush=True)
+timeit("G: matmul plain (split, no comb)", scan_mm_plain, digs0, kw)
