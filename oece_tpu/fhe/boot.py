@@ -45,7 +45,7 @@ PALLAS_MAX_B = 512
 # Fully-fused single-kernel CMUX step (pallas_kernels.fused_step_pallas);
 # set OECE_FUSED=0 to fall back to the split matmul + jnp-rotation pipeline.
 USE_FUSED_STEP = os.environ.get("OECE_FUSED", "1") != "0"
-FUSED_MAX_B = 512
+FUSED_MAX_B = 1024  # megakernel batch chunk (VMEM-bound; ~65 MiB at STD128)
 
 # Run Pallas kernels in interpreter mode (tests on the virtual CPU mesh can
 # then exercise the exact production kernel path without a TPU).
@@ -83,7 +83,10 @@ class DeviceBootKeys:
                 (jnp gather path; None when packed for the Pallas kernel)
     ginx_pallas : int32 [n, 2*nt-1, 4, R*M, SPANW] per-step diagonal key
                 windows for the Pallas negacyclic kernel (TPU path)
-    ap_kext   : int8 [n, d_r, B_r, rows, out, L, 2N] (AP method only)
+    ap_kext   : int8 [n, d_r, B_r, rows, out, L, 2N] (AP, jnp gather path)
+    ap_pallas : int32 [n*d_r, 2*nt-1, 4, R*Ma*SPANW] windows of the v=1
+                rotation keys (binary-base AP, B_r=2: each step is one
+                shared-key external product + a public-bit select)
     ksk       : int8 [N*d_ks, n+1, 2]  centered base-256 limbs mod Q_ks
     tv_table  : int32 [len(GATE_ORDER), N] test vectors mod Q
     """
@@ -95,21 +98,23 @@ class DeviceBootKeys:
     ksk: jnp.ndarray
     tv_table: jnp.ndarray
     ginx_pallas: Optional[jnp.ndarray] = None
+    ap_pallas: Optional[jnp.ndarray] = None
 
 
 def _dbk_flatten(k: DeviceBootKeys):
     return (
-        (k.ginx_kext, k.ap_kext, k.ksk, k.tv_table, k.ginx_pallas),
+        (k.ginx_kext, k.ap_kext, k.ksk, k.tv_table, k.ginx_pallas, k.ap_pallas),
         (k.params, k.method),
     )
 
 
 def _dbk_unflatten(aux, children):
     params, method = aux
-    ginx_kext, ap_kext, ksk, tv_table, ginx_pallas = children
+    ginx_kext, ap_kext, ksk, tv_table, ginx_pallas, ap_pallas = children
     return DeviceBootKeys(
         params=params, method=method, ginx_kext=ginx_kext, ap_kext=ap_kext,
         ksk=ksk, tv_table=tv_table, ginx_pallas=ginx_pallas,
+        ap_pallas=ap_pallas,
     )
 
 
@@ -140,7 +145,7 @@ def pack_bootstrap_key(
         use_pallas = (
             jax.default_backend() not in ("cpu",) or PALLAS_INTERPRET
         ) and p.N % pk.TILE == 0
-    ginx_kext = ap_kext = ginx_pallas = None
+    ginx_kext = ap_kext = ginx_pallas = ap_pallas = None
     if bk.method == BinFHEMethod.GINX:
         # [n, parts, rows, out, N]
         brk = np.stack([bk.brk_pos, bk.brk_neg], axis=1)
@@ -160,7 +165,26 @@ def pack_bootstrap_key(
         else:
             ginx_kext = jnp.asarray(kext_np)
     else:
-        ap_kext = jnp.asarray(_poly_ext_limbs(bk.ak, Q))
+        if use_pallas and p.B_r == 2:
+            # binary-base AP: pack only the v=1 keys; v=0 is the identity
+            # and becomes a public-bit select on device.
+            n_, d_r = bk.ak.shape[0], bk.ak.shape[1]
+            rows, out = bk.ak.shape[3], bk.ak.shape[4]
+            Ma = out * modmath.N_LIMBS
+            nt = p.N // pk.TILE
+            wins = np.empty(
+                (n_ * d_r, 2 * nt - 1, 4, rows * Ma * pk.SPANW), np.int32
+            )
+            for i in range(n_):
+                for j in range(d_r):
+                    kext = _poly_ext_limbs(bk.ak[i, j, 1], Q)  # [rows,out,L,2N]
+                    perm = kext.reshape(rows * Ma, 2 * p.N)
+                    wins[i * d_r + j] = pk.pack_keys_for_pallas(perm).reshape(
+                        2 * nt - 1, 4, rows * Ma * pk.SPANW
+                    )
+            ap_pallas = jnp.asarray(wins)
+        else:
+            ap_kext = jnp.asarray(_poly_ext_limbs(bk.ak, Q))
 
     # Key-switch key: center mod Q_ks then 2 signed base-256 limbs.
     Qks = p.Q_ks
@@ -182,6 +206,7 @@ def pack_bootstrap_key(
         ksk=jnp.asarray(ksk_limbs),
         tv_table=jnp.asarray(tv, dtype=jnp.int32),
         ginx_pallas=ginx_pallas,
+        ap_pallas=ap_pallas,
     )
 
 
@@ -381,22 +406,39 @@ def _blind_rotate_fused(
         interpret = PALLAS_INTERPRET
     p = keys.params
     N, two_n = p.N, 2 * p.N
-    B = acc.shape[0]
     accp = pk.permute_lanes(acc)
     c_pos = (two_n - a2N) & (two_n - 1)
     amt = jnp.transpose(jnp.stack([c_pos, a2N], axis=2), (1, 0, 2))  # [n,B,2]
+    accp = pk.blind_rotate_megakernel(
+        accp, keys.ginx_pallas, amt,
+        R=2 * p.d_g_used, Q=p.Q, B_g=p.B_g, d_used=p.d_g_used,
+        g_shift=p.g_shift, block_b=FUSED_MAX_B, interpret=interpret,
+    )
+    return pk.unpermute_lanes(accp)
 
-    def body(carry, xs):
-        amt_i, kwin_i = xs
-        amt_l = jnp.broadcast_to(amt_i[:, :, None], (B, 2, pk.TILE))
-        out = pk.fused_step_pallas(
-            carry, kwin_i, amt_l,
-            R=2 * p.d_g_used, Q=p.Q, B_g=p.B_g, d_used=p.d_g_used,
-            g_shift=p.g_shift, block_b=FUSED_MAX_B, interpret=interpret,
-        )
-        return out, None
 
-    accp, _ = jax.lax.scan(body, accp, (amt, keys.ginx_pallas))
+def _blind_rotate_ap_fused(
+    acc: jnp.ndarray, a2N: jnp.ndarray, keys: DeviceBootKeys,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Binary-base AP rotation (B_r=2) as one Pallas megakernel: each of the
+    n*d_r steps is a shared-key external product + public-bit select —
+    MXU-shaped, unlike the per-gate-gather jnp path below."""
+    if interpret is None:
+        interpret = PALLAS_INTERPRET
+    p = keys.params
+    N, two_n = p.N, 2 * p.N
+    d_r = p.d_r
+    neg_a = (two_n - a2N) & (two_n - 1)  # [B, n]; rotate by -a_i*s_i total
+    j = jnp.arange(d_r, dtype=jnp.int32)
+    bits = (neg_a[:, :, None] >> j) & 1  # [B, n, d_r]
+    bits = jnp.transpose(bits, (1, 2, 0)).reshape(p.n * d_r, acc.shape[0], 1)
+    accp = pk.permute_lanes(acc)
+    accp = pk.blind_rotate_ap_megakernel(
+        accp, keys.ap_pallas, bits,
+        R=2 * p.d_g_used, Q=p.Q, B_g=p.B_g, d_used=p.d_g_used,
+        g_shift=p.g_shift, block_b=FUSED_MAX_B, interpret=interpret,
+    )
     return pk.unpermute_lanes(accp)
 
 
@@ -406,9 +448,12 @@ def blind_rotate_ap_dev(
     """AP/DM blind rotation: per (i, digit j), per-gate key row gathered by
     digit value and applied as a batched external product.
 
-    Batched-GEMV shaped (per-gate matrices), so it is the parity/compat path;
-    GINX is the performance path (same split as OpenFHE's guidance).
+    Batched-GEMV shaped (per-gate matrices), so it is the parity/compat path
+    for generic bases; binary-base AP keys route to the Pallas megakernel
+    (_blind_rotate_ap_fused).
     """
+    if keys.ap_pallas is not None:
+        return _blind_rotate_ap_fused(acc, a2N, keys)
     p = keys.params
     Q, N, d_g, B_r, d_r = p.Q, p.N, p.d_g_used, p.B_r, p.d_r
     B = a2N.shape[0]
@@ -429,7 +474,9 @@ def blind_rotate_ap_dev(
             prod = jnp.einsum(
                 "bri,brolik->bokl", digs, dense, preferred_element_type=jnp.int32
             )
-            acc = modmath.combine_limbs_mod_q(prod, Q)
+            new = modmath.combine_limbs_mod_q(prod, Q)
+            # v == 0 is the identity rotation: keep acc (golden parity)
+            acc = jnp.where((v == 0)[:, None, None], acc, new)
         return acc, None
 
     acc, _ = jax.lax.scan(body, acc, (neg_a.T, keys.ap_kext))

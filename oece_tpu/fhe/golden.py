@@ -376,7 +376,9 @@ def bootstrap_keygen(
         # AP/DM: for each LWE coeff i, digit position j (base B_r over q) and
         # digit value v: RGSW( X^{ v * B_r^j * s_i } ).
         q, B_r, d_r = params.q, params.B_r, params.d_r
-        ak = np.empty((params.n, d_r, B_r, 2 * params.d_g, 2, N), dtype=np.int64)
+        ak = np.empty(
+            (params.n, d_r, B_r, 2 * params.d_g_used, 2, N), dtype=np.int64
+        )
         for i in range(params.n):
             for j in range(d_r):
                 for v in range(B_r):
@@ -479,8 +481,11 @@ def blind_rotate_ap(
         ai = int(-a[i]) % (2 * N)  # rotate by -a_i * s_i in total
         for j in range(d_r):
             v = (ai // (B_r**j)) % B_r
-            # v == 0 multiplies by RGSW(1) — a no-op on the message but kept
-            # so the data-independent device scan (boot.py) matches bitwise.
+            # v == 0 is the identity rotation: skipped entirely (the device
+            # paths select the unchanged accumulator for v == 0 gates, so
+            # skipping keeps golden<->device bit-exact AND saves noise).
+            if v == 0:
+                continue
             acc = external_product(params, acc, bk.ak[i, j, v])
     return acc
 

@@ -44,6 +44,7 @@ and the NumPy golden model (tests/test_pallas.py).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -680,77 +681,78 @@ def _decompose_lanes(col, Q: int, B: int, d_used: int, shift: int):
     return digs
 
 
-def _fused_step_kernel(
-    acc_ref, win_ref, amt_ref, out_ref, rev_ref, digs_ref, pacc_ref,
-    *, nt, R, M, TB, Q, B_g, d_used, g_shift, N,
-):
-    """Grid (B//TB, nt), k innermost.  One whole GINX CMUX step in VMEM.
+def _build_rev_kernel(win_ref, rev_ref, *, nt, R, M):
+    """Packed windows -> conjugated-basis reversed-diagonal dense blocks.
 
-    acc_ref : [TB, 2, N] int32 permuted-layout accumulator (block (c,0,0))
-    win_ref : [2*nt-1, 4, R*M*SPANW] int32 packed key windows (resident)
-    amt_ref : [TB, 2, TILE] int32 lane-replicated rotations (c_pos, a_col)
-    out_ref : [TB, 2, N] int32 new accumulator (block (c,0,0))
-    rev_ref : scratch [(2*nt-1)*R*TILE, M*TILE] int8 reversed conjugated
-              diagonal blocks (built once at c==0, k==0)
-    digs_ref: scratch [TB, nt*R*TILE] int8 (built at k==0 per batch chunk)
-    pacc_ref: scratch [TB, M//4, N] int32 combined products (permuted cols)
+    win_ref : [2*nt-1, 4, R*M*SPANW] int32
+    rev_ref : [(2*nt-1)*R*TILE, M*TILE] int8 out
     """
-    c = pl.program_id(0)
-    k = pl.program_id(1)
     TI = TILE
     RT = R * TILE
     ndiag = 2 * nt - 1
     RMW = R * M * SPANW
-
-    # ---- build the conjugated reversed-diagonal dense blocks (once) -------
-    @pl.when((c == 0) & (k == 0))
-    def _build():
-        roww = jax.lax.broadcasted_iota(jnp.int32, (TI, RMW), 0)
-        trueidx = 4 * (roww & 31) + (roww >> 5)  # conjugated row basis
-        amount = TI - trueidx  # per-row left byte shift in [1, 128]
-        v = amount & 3
-        wsh = amount >> 2
-        for d in range(ndiag):
-            x = jnp.broadcast_to(win_ref[d, 0, :], (TI, RMW)).astype(jnp.uint32)
-            for ph in (1, 2, 3):
-                xp = jnp.broadcast_to(win_ref[d, ph, :], (TI, RMW)).astype(
-                    jnp.uint32
-                )
-                x = jnp.where(v == ph, xp, x)
-            for b in range(6):  # word shifts 1..32
-                shw = 1 << b
-                rolled = pltpu.roll(x, RMW - shw, 1)
-                x = jnp.where((wsh & shw) != 0, rolled, x)
-            row0 = (ndiag - 1 - d) * RT  # reversed order
-            for r in range(R):
-                for m in range(M):
-                    x32 = x[:, (r * M + m) * SPANW : (r * M + m) * SPANW + TKW]
-                    planes = [
-                        ((x32 >> jnp.uint32(8 * j)) & jnp.uint32(0xFF)).astype(
-                            jnp.int32
-                        )
-                        for j in range(4)
-                    ]
-                    tile8 = jnp.concatenate(planes, axis=1).astype(jnp.int8)
-                    rev_ref[
-                        row0 + r * TI : row0 + (r + 1) * TI,
-                        m * TILE : (m + 1) * TILE,
-                    ] = tile8
-
-    # ---- gadget-decompose this batch chunk (once per chunk) ---------------
-    @pl.when(k == 0)
-    def _decompose():
-        for p in range(2):
-            col = acc_ref[:, p, :]  # [TB, N]
-            planes = _decompose_lanes(col, Q, B_g, d_used, g_shift)
-            for dgt, plane in enumerate(planes):
-                rr = p * d_used + dgt
-                for j in range(nt):
-                    digs_ref[:, j * RT + rr * TI : j * RT + (rr + 1) * TI] = (
-                        plane[:, j * TI : (j + 1) * TI]
+    roww = jax.lax.broadcasted_iota(jnp.int32, (TI, RMW), 0)
+    trueidx = 4 * (roww & 31) + (roww >> 5)  # conjugated row basis
+    amount = TI - trueidx  # per-row left byte shift in [1, 128]
+    v = amount & 3
+    wsh = amount >> 2
+    for d in range(ndiag):
+        x = jnp.broadcast_to(win_ref[d, 0, :], (TI, RMW)).astype(jnp.uint32)
+        for ph in (1, 2, 3):
+            xp = jnp.broadcast_to(win_ref[d, ph, :], (TI, RMW)).astype(jnp.uint32)
+            x = jnp.where(v == ph, xp, x)
+        for b in range(6):  # word shifts 1..32
+            shw = 1 << b
+            rolled = pltpu.roll(x, RMW - shw, 1)
+            x = jnp.where((wsh & shw) != 0, rolled, x)
+        row0 = (ndiag - 1 - d) * RT  # reversed order
+        for r in range(R):
+            for m in range(M):
+                x32 = x[:, (r * M + m) * SPANW : (r * M + m) * SPANW + TKW]
+                planes = [
+                    ((x32 >> jnp.uint32(8 * j)) & jnp.uint32(0xFF)).astype(
+                        jnp.int32
                     )
+                    for j in range(4)
+                ]
+                tile8 = jnp.concatenate(planes, axis=1).astype(jnp.int8)
+                rev_ref[
+                    row0 + r * TI : row0 + (r + 1) * TI,
+                    m * TILE : (m + 1) * TILE,
+                ] = tile8
 
-    # ---- the MXU contraction for output tile k + fused limb combine -------
+
+def build_rev_pallas(win, R: int, M: int, interpret: bool = False):
+    """win int32 [2*nt-1, 4, R*M*SPANW] -> rev int8 [(2*nt-1)*R*128, M*128]."""
+    ndiag, nph, rmw = win.shape
+    nt = (ndiag + 1) // 2
+    kernel = functools.partial(_build_rev_kernel, nt=nt, R=R, M=M)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((ndiag * R * TILE, M * TILE), jnp.int8),
+        interpret=interpret,
+        compiler_params=None if interpret else VMEM_PARAMS,
+    )(win)
+
+
+def _decompose_kernel(acc_ref, digs_ref, *, nt, R, Q, B_g, d_used, g_shift):
+    """acc [TB, 2, N] (permuted lanes) -> digit rows [TB, nt*R*TILE] int8."""
+    RT = R * TILE
+    for p in range(2):
+        col = acc_ref[:, p, :]  # [TB, N]
+        planes = _decompose_lanes(col, Q, B_g, d_used, g_shift)
+        for dgt, plane in enumerate(planes):
+            rr = p * d_used + dgt
+            for j in range(nt):
+                digs_ref[:, j * RT + rr * TILE : j * RT + (rr + 1) * TILE] = (
+                    plane[:, j * TILE : (j + 1) * TILE]
+                )
+
+
+def _window_matmul_perm_kernel(digs_ref, rev_ref, out_ref, *, nt, RT, M, TB, Q):
+    """Grid (b_chunks, nt): one [TB, nt*RT] x [nt*RT, M*TILE] int8 MXU dot
+    per output tile (rev VMEM-resident), limb combine fused."""
+    k = pl.program_id(1)
     win_rows = rev_ref[pl.ds((nt - 1 - k) * RT, nt * RT), :]
     res = jax.lax.dot_general(
         digs_ref[...],
@@ -758,33 +760,30 @@ def _fused_step_kernel(
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )  # [TB, M*TILE]
-    pacc_ref[:, :, pl.ds(k * TILE, TILE)] = _combine_limbs_tile(
+    out_ref[:, :, pl.ds(k * TILE, TILE)] = _combine_limbs_tile(
         res.reshape(TB, M // 4, 4, TILE), Q
     )
 
-    # ---- epilogue: rotations + CMUX add (last output tile) ----------------
-    # Processed in small batch sub-chunks, one RGSW part at a time, to bound
-    # the barrel's live temporaries (one big [TB,2,2,N] rotation spills the
-    # Mosaic register allocator by >100 MB at TB=512, N=1024 — measured).
-    @pl.when(k == nt - 1)
-    def _epilogue():
-        EB = min(TB, 64)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (EB, 2, N), 2)
-        for s0 in range(0, TB, EB):
-            P0 = pacc_ref[s0 : s0 + EB, 0:2, :]  # part 0: [EB, 2(out), N]
-            P1 = pacc_ref[s0 : s0 + EB, 2:4, :]
-            amt_c = jnp.concatenate(
-                [amt_ref[s0 : s0 + EB]] * (N // TILE), axis=-1
-            )  # [EB, 2, N]
-            rot0 = _monomial_rotate_perm(P0, amt_c[:, 0:1, :], N, Q, lane)
-            rot1 = _monomial_rotate_perm(P1, amt_c[:, 1:2, :], N, Q, lane)
-            y = (
-                acc_ref[s0 : s0 + EB]
-                + rot0
-                + rot1
-                + (2 * Q - P0 - P1)
-            )
-            out_ref[s0 : s0 + EB] = modmath.red31(y, Q)
+
+def _cmux_epilogue_perm_kernel(pacc_ref, acc_ref, amt_ref, out_ref, *, N, Q, TB):
+    """Permuted-space per-gate rotations + CMUX add:
+    out = red31(acc + X^amt0*P0 + X^amt1*P1 + 2Q - P0 - P1).
+
+    Processed in small batch sub-chunks, one RGSW part at a time, to bound
+    the barrel's live temporaries (one big [TB,2,2,N] rotation spills the
+    Mosaic register allocator by >100 MB at TB=512, N=1024 — measured)."""
+    EB = min(TB, 64)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (EB, 2, N), 2)
+    for s0 in range(0, TB, EB):
+        P0 = pacc_ref[s0 : s0 + EB, 0:2, :]  # part 0: [EB, 2(out), N]
+        P1 = pacc_ref[s0 : s0 + EB, 2:4, :]
+        amt_c = jnp.concatenate(
+            [amt_ref[s0 : s0 + EB]] * (N // TILE), axis=-1
+        )  # [EB, 2, N]
+        rot0 = _monomial_rotate_perm(P0, amt_c[:, 0:1, :], N, Q, lane)
+        rot1 = _monomial_rotate_perm(P1, amt_c[:, 1:2, :], N, Q, lane)
+        y = acc_ref[s0 : s0 + EB] + rot0 + rot1 + (2 * Q - P0 - P1)
+        out_ref[s0 : s0 + EB] = modmath.red31(y, Q)
 
 
 def fused_step_pallas(
@@ -799,14 +798,21 @@ def fused_step_pallas(
     g_shift: int,
     block_b: int = 512,
     interpret: bool = False,
+    rev: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """One fused GINX CMUX step.
+    """One GINX CMUX step on the permuted-layout accumulator.
 
     accp : int32 [B, 2, N] accumulator in permute_lanes layout
     win  : int32 [2*nt-1, 4, R*M*SPANW] this step's packed key windows
     amt  : int32 [B, 2, TILE] lane-replicated (c_pos, a_col) in [0, 2N)
+    rev  : optional prebuilt dense blocks (build_rev_pallas) — skips build
     Returns the new accumulator, same shape/layout.  Bit-exact equal (after
     unpermute_lanes) to boot._external_cmux_ginx on the jnp key layout.
+
+    Implemented as FOUR small pallas_calls (build -> decompose -> matmul ->
+    epilogue) rather than one monolithic kernel: pl.when-guarded phases in a
+    single (chunks, nt) grid execute in EVERY grid cell on Mosaic (measured
+    2.05 ms/step vs the 0.16 ms/step these four kernels sum to).
     """
     B, _, N = accp.shape
     nt = N // TILE
@@ -817,36 +823,266 @@ def fused_step_pallas(
     TB = min(block_b, B)
     while B % TB:  # pick the largest power-of-two-ish divisor <= block_b
         TB -= 1 if TB % 2 else TB // 2
-    # VMEM budget guard: resident rev + per-chunk blocks must fit
-    resident = ndiag * RT * M * TILE + 4 * ndiag * nph * rmw
-    per_chunk = (
-        TB * nt * RT  # digs
-        + 4 * TB * (M // 4) * N  # pacc
-        + 2 * 4 * TB * 2 * N  # acc in + out
-        + 4 * TB * M * TILE  # dot result
-        + 4 * 4 * TB * 2 * 2 * N  # epilogue temporaries (est.)
-    )
+    # VMEM budget guard for the matmul kernel (rev whole-array resident).
+    resident = ndiag * RT * M * TILE
+    per_chunk = TB * nt * RT + 2 * 4 * TB * (M // 4) * N + 4 * TB * M * TILE
     assert resident + per_chunk <= VMEM_PARAMS.vmem_limit_bytes, (
-        f"fused step VMEM estimate {(resident + per_chunk) >> 20} MiB "
-        f"exceeds budget; reduce block_b (got {TB})"
+        f"step VMEM estimate {(resident + per_chunk) >> 20} MiB exceeds "
+        f"budget; reduce block_b (got {TB})"
+    )
+    cp = None if interpret else VMEM_PARAMS
+
+    if rev is None:
+        rev = build_rev_pallas(win, R, M, interpret)
+    rev_flat = rev.reshape(ndiag * RT, M * TILE)
+
+    digs = pl.pallas_call(
+        functools.partial(
+            _decompose_kernel, nt=nt, R=R, Q=Q, B_g=B_g, d_used=d_used,
+            g_shift=g_shift,
+        ),
+        grid=(B // TB,),
+        in_specs=[pl.BlockSpec((TB, 2, N), lambda c: (c, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((TB, nt * RT), lambda c: (c, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, nt * RT), jnp.int8),
+        interpret=interpret,
+        compiler_params=cp,
+    )(accp)
+
+    pacc = pl.pallas_call(
+        functools.partial(
+            _window_matmul_perm_kernel, nt=nt, RT=RT, M=M, TB=TB, Q=Q
+        ),
+        grid=(B // TB, nt),
+        in_specs=[
+            pl.BlockSpec((TB, nt * RT), lambda c, k: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (ndiag * RT, M * TILE), lambda c, k: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (TB, M // 4, N), lambda c, k: (c, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, M // 4, N), jnp.int32),
+        interpret=interpret,
+        compiler_params=cp,
+    )(digs, rev_flat)
+
+    return pl.pallas_call(
+        functools.partial(_cmux_epilogue_perm_kernel, N=N, Q=Q, TB=TB),
+        grid=(B // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, M // 4, N), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 2, N), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 2, TILE), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TB, 2, N), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 2, N), jnp.int32),
+        interpret=interpret,
+        compiler_params=cp,
+    )(pacc, accp, amt)
+
+
+# ---------------------------------------------------------------------------
+# The rotation megakernel: ALL n CMUX steps in ONE pallas_call.
+#
+# Per-pallas-launch overhead inside lax.scan measured ~4 ms on the target
+# stack — 502 steps x 4 kernels made launch overhead 50x the compute.  Here
+# the step index is a GRID dimension: windows/amounts stream in per step via
+# BlockSpec index maps (double-buffered DMA), the accumulator lives in a
+# revisited input/output-aliased block that stays VMEM-resident for the
+# whole rotation, and each grid step runs build -> decompose -> matmul ->
+# epilogue unconditionally (no pl.when phases).
+# ---------------------------------------------------------------------------
+
+
+def _build_rev_body(win_ref, rev_ref, nt, R, M):
+    """Shared megakernel phase: windows block [1, ndiag, 4, RMW] -> rev."""
+    TI = TILE
+    RT = R * TILE
+    ndiag = 2 * nt - 1
+    RMW = R * M * SPANW
+    roww = jax.lax.broadcasted_iota(jnp.int32, (TI, RMW), 0)
+    trueidx = 4 * (roww & 31) + (roww >> 5)
+    amount = TI - trueidx
+    v = amount & 3
+    wsh = amount >> 2
+    for d in range(ndiag):
+        x = jnp.broadcast_to(win_ref[0, d, 0, :], (TI, RMW)).astype(jnp.uint32)
+        for ph in (1, 2, 3):
+            xp = jnp.broadcast_to(win_ref[0, d, ph, :], (TI, RMW)).astype(
+                jnp.uint32
+            )
+            x = jnp.where(v == ph, xp, x)
+        for b in range(6):
+            shw = 1 << b
+            rolled = pltpu.roll(x, RMW - shw, 1)
+            x = jnp.where((wsh & shw) != 0, rolled, x)
+        row0 = (ndiag - 1 - d) * RT
+        for r in range(R):
+            for m in range(M):
+                x32 = x[:, (r * M + m) * SPANW : (r * M + m) * SPANW + TKW]
+                planes = [
+                    ((x32 >> jnp.uint32(8 * j)) & jnp.uint32(0xFF)).astype(
+                        jnp.int32
+                    )
+                    for j in range(4)
+                ]
+                rev_ref[
+                    row0 + r * TI : row0 + (r + 1) * TI,
+                    m * TILE : (m + 1) * TILE,
+                ] = jnp.concatenate(planes, axis=1).astype(jnp.int8)
+
+
+def _decompose_body(out_ref, digs_ref, nt, R, Q, B_g, d_used, g_shift):
+    """Shared megakernel phase: resident acc -> digit rows scratch."""
+    RT = R * TILE
+    for p in range(2):
+        col = out_ref[:, p, :]
+        planes = _decompose_lanes(col, Q, B_g, d_used, g_shift)
+        for dgt, plane in enumerate(planes):
+            rr = p * d_used + dgt
+            for j in range(nt):
+                digs_ref[:, j * RT + rr * TILE : j * RT + (rr + 1) * TILE] = (
+                    plane[:, j * TILE : (j + 1) * TILE]
+                )
+
+
+def _matmul_body(digs_ref, rev_ref, pacc_ref, nt, R, M, TB, Q):
+    """Shared megakernel phase: MXU contraction per output tile (static k)."""
+    RT = R * TILE
+    for k in range(nt):
+        res = jax.lax.dot_general(
+            digs_ref[...],
+            rev_ref[(nt - 1 - k) * RT : (2 * nt - 1 - k) * RT, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        pacc_ref[:, :, k * TILE : (k + 1) * TILE] = _combine_limbs_tile(
+            res.reshape(TB, M // 4, 4, TILE), Q
+        )
+
+
+def _rotation_megakernel(
+    win_ref, amt_ref, accin_ref, out_ref, rev_ref, digs_ref, pacc_ref,
+    *, nt, R, M, TB, Q, B_g, d_used, g_shift, N,
+):
+    """Grid (B//TB, nsteps), step innermost.  One GINX CMUX step per cell.
+
+    win_ref  : [1, 2*nt-1, 4, R*M*SPANW] int32 — this step's packed windows
+    amt_ref  : [1, TB, 2] int32 — (c_pos, a_col) per gate, this step
+    accin_ref: [TB, 2, N] int32 — aliased to out_ref (unused directly)
+    out_ref  : [TB, 2, N] int32 — the resident accumulator (read + write)
+    rev_ref  : scratch [(2*nt-1)*R*TILE, M*TILE] int8
+    digs_ref : scratch [TB, nt*R*TILE] int8
+    pacc_ref : scratch [TB, M//4, N] int32
+    """
+    del accin_ref  # aliased: out_ref carries the accumulator
+    _build_rev_body(win_ref, rev_ref, nt, R, M)
+    _decompose_body(out_ref, digs_ref, nt, R, Q, B_g, d_used, g_shift)
+    _matmul_body(digs_ref, rev_ref, pacc_ref, nt, R, M, TB, Q)
+
+    # epilogue: permuted-space rotations + CMUX add, in sub-chunks (one big
+    # [TB,2,2,N] rotation spills the Mosaic register allocator — measured)
+    EB = min(TB, 64)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (EB, 2, N), 2)
+    for s0 in range(0, TB, EB):
+        P0 = pacc_ref[s0 : s0 + EB, 0:2, :]
+        P1 = pacc_ref[s0 : s0 + EB, 2:4, :]
+        c0 = jnp.broadcast_to(amt_ref[0, s0 : s0 + EB, 0:1], (EB, N))
+        c1 = jnp.broadcast_to(amt_ref[0, s0 : s0 + EB, 1:2], (EB, N))
+        rot0 = _monomial_rotate_perm(P0, c0[:, None, :], N, Q, lane)
+        rot1 = _monomial_rotate_perm(P1, c1[:, None, :], N, Q, lane)
+        y = out_ref[s0 : s0 + EB] + rot0 + rot1 + (2 * Q - P0 - P1)
+        out_ref[s0 : s0 + EB] = modmath.red31(y, Q)
+
+
+def _ap_megakernel(
+    win_ref, bit_ref, accin_ref, out_ref, rev_ref, digs_ref, pacc_ref,
+    *, nt, R, M, TB, Q, B_g, d_used, g_shift, N,
+):
+    """AP (binary base) step: acc <- bit ? EP(acc, K1_ij) : acc.
+
+    The digit bit of the public rotation amount selects, per gate, between
+    the shared-key external product (one MXU matmul, M = out*L = 8 planes)
+    and the unchanged accumulator — no per-gate rotation (the monomial
+    X^{2^j s_i} lives in the key).
+    bit_ref : [1, TB, 1] int32 — this step's public digit bit per gate.
+    """
+    del accin_ref
+    _build_rev_body(win_ref, rev_ref, nt, R, M)
+    _decompose_body(out_ref, digs_ref, nt, R, Q, B_g, d_used, g_shift)
+    _matmul_body(digs_ref, rev_ref, pacc_ref, nt, R, M, TB, Q)
+    EB = min(TB, 128)
+    for s0 in range(0, TB, EB):
+        bit = jnp.broadcast_to(bit_ref[0, s0 : s0 + EB, 0:1], (EB, N))
+        P = pacc_ref[s0 : s0 + EB]  # [EB, 2, N] (out = a', b')
+        acc = out_ref[s0 : s0 + EB]
+        out_ref[s0 : s0 + EB] = jnp.where(bit[:, None, :] != 0, P, acc)
+
+
+def blind_rotate_megakernel(
+    accp: jnp.ndarray,
+    wins: jnp.ndarray,
+    amt: jnp.ndarray,
+    *,
+    R: int,
+    Q: int,
+    B_g: int,
+    d_used: int,
+    g_shift: int,
+    block_b: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """The whole GINX blind rotation as one pallas_call.
+
+    accp : int32 [B, 2, N] accumulator in permute_lanes layout
+    wins : int32 [nsteps, 2*nt-1, 4, R*M*SPANW] packed key windows
+    amt  : int32 [nsteps, B, 2] per-step (c_pos, a_col) in [0, 2N)
+    Returns the rotated accumulator (permuted layout).  Bit-exact equal to
+    scanning boot._external_cmux_ginx over the steps (tests/test_pallas.py).
+    """
+    B, _, N = accp.shape
+    nsteps = wins.shape[0]
+    nt = N // TILE
+    ndiag, nph, rmw = wins.shape[1:]
+    assert ndiag == 2 * nt - 1 and nph == 4
+    M = rmw // SPANW // R
+    RT = R * TILE
+    TB = min(block_b, B)
+    while B % TB:
+        TB -= 1 if TB % 2 else TB // 2
+    resident = (
+        ndiag * RT * M * TILE  # rev
+        + TB * nt * RT  # digs
+        + 4 * TB * (M // 4) * N  # pacc
+        + 2 * 4 * TB * 2 * N  # acc block in+out windows
+        + 4 * TB * M * TILE  # dot result
+        + 2 * 4 * ndiag * nph * rmw  # win block, double buffered
+    )
+    assert resident <= VMEM_PARAMS.vmem_limit_bytes, (
+        f"megakernel VMEM estimate {resident >> 20} MiB exceeds budget; "
+        f"reduce block_b (got {TB})"
     )
     kernel = functools.partial(
-        _fused_step_kernel,
+        _rotation_megakernel,
         nt=nt, R=R, M=M, TB=TB, Q=Q, B_g=B_g, d_used=d_used,
         g_shift=g_shift, N=N,
     )
     return pl.pallas_call(
         kernel,
-        grid=(B // TB, nt),
+        grid=(B // TB, nsteps),
         in_specs=[
-            pl.BlockSpec((TB, 2, N), lambda c, k: (c, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (ndiag, 4, rmw), lambda c, k: (0, 0, 0), memory_space=pltpu.VMEM
+                (1, ndiag, nph, rmw), lambda c, i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((TB, 2, TILE), lambda c, k: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB, 2), lambda c, i: (i, c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 2, N), lambda c, i: (c, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (TB, 2, N), lambda c, k: (c, 0, 0), memory_space=pltpu.VMEM
+            (TB, 2, N), lambda c, i: (c, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, 2, N), jnp.int32),
         scratch_shapes=[
@@ -854,9 +1090,70 @@ def fused_step_pallas(
             pltpu.VMEM((TB, nt * RT), jnp.int8),
             pltpu.VMEM((TB, M // 4, N), jnp.int32),
         ],
+        input_output_aliases={2: 0},
         interpret=interpret,
         compiler_params=None if interpret else VMEM_PARAMS,
-    )(accp, win, amt)
+    )(wins, amt, accp)
+
+
+def blind_rotate_ap_megakernel(
+    accp: jnp.ndarray,
+    wins: jnp.ndarray,
+    bits: jnp.ndarray,
+    *,
+    R: int,
+    Q: int,
+    B_g: int,
+    d_used: int,
+    g_shift: int,
+    block_b: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """The whole binary-base AP blind rotation as one pallas_call.
+
+    accp : int32 [B, 2, N] accumulator in permute_lanes layout
+    wins : int32 [n*d_r, 2*nt-1, 4, R*Ma*SPANW] v=1 rotation-key windows
+    bits : int32 [n*d_r, B, 1] public digit bits of -a_i (base 2)
+    """
+    B, _, N = accp.shape
+    nsteps = wins.shape[0]
+    nt = N // TILE
+    ndiag, nph, rmw = wins.shape[1:]
+    assert ndiag == 2 * nt - 1 and nph == 4
+    M = rmw // SPANW // R
+    RT = R * TILE
+    TB = min(block_b, B)
+    while B % TB:
+        TB -= 1 if TB % 2 else TB // 2
+    kernel = functools.partial(
+        _ap_megakernel,
+        nt=nt, R=R, M=M, TB=TB, Q=Q, B_g=B_g, d_used=d_used,
+        g_shift=g_shift, N=N,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B // TB, nsteps),
+        in_specs=[
+            pl.BlockSpec(
+                (1, ndiag, nph, rmw), lambda c, i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, TB, 1), lambda c, i: (i, c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 2, N), lambda c, i: (c, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TB, 2, N), lambda c, i: (c, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 2, N), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((ndiag * RT, M * TILE), jnp.int8),
+            pltpu.VMEM((TB, nt * RT), jnp.int8),
+            pltpu.VMEM((TB, M // 4, N), jnp.int32),
+        ],
+        input_output_aliases={2: 0},
+        interpret=interpret,
+        compiler_params=None if interpret else VMEM_PARAMS,
+    )(wins, bits, accp)
 
 
 def pack_digits_for_pallas(digs: jnp.ndarray) -> jnp.ndarray:

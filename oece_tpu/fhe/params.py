@@ -208,7 +208,12 @@ STD128 = BinFHEParams(
     Q_ks=1 << 15,
     B_g=1 << 7,  # d_g = 4
     B_ks=1 << 2,  # d_ks = 8: small base keeps matmul-form key-switch noise low
-    B_r=1 << 5,
+    # AP rotation base 2 (d_r = 11): the TPU-native choice — every AP step
+    # becomes ONE shared-key MXU external product + a public-bit select
+    # (boot._blind_rotate_ap_fused), and the AP key stays ~2.7 GB instead of
+    # the O(n*d_r*B_r) blowup of larger bases.  MICRO keeps B_r=32 to
+    # exercise the generic-base golden/jnp path.
+    B_r=1 << 1,
     sigma=3.19,
     secret="ternary",
 )
@@ -228,7 +233,7 @@ STD128_OPT = BinFHEParams(
     Q_ks=1 << 15,
     B_g=1 << 7,
     B_ks=1 << 2,
-    B_r=1 << 5,
+    B_r=1 << 1,  # binary AP digits (see STD128 note)
     sigma=3.19,
     secret="ternary",
     d_g_eff=2,  # g_shift = 27 - 7*2 = 13

@@ -205,3 +205,61 @@ def test_fused_blind_rotate_matches_jnp_interpret():
     want = np.asarray(boot.blind_rotate_ginx_dev(acc, a2N, dk_jnp))
     got = np.asarray(boot._blind_rotate_fused(acc, a2N, dk_pal, interpret=True))
     assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("params_name", ["MICRO", "MICRO_A"])
+def test_rotation_megakernel_matches_jnp_interpret(params_name):
+    """blind_rotate_megakernel (whole rotation, one pallas_call) == the jnp
+    gather scan, bit-exact, exact and approximate gadgets."""
+    from oece_tpu.fhe import boot, golden
+    from oece_tpu.fhe.params import PARAM_SETS, BinFHEMethod
+
+    p = PARAM_SETS[params_name]
+    rng = np.random.default_rng(9)
+    sk = golden.lwe_keygen(p, rng)
+    bk = golden.bootstrap_keygen(p, sk, rng, BinFHEMethod.GINX)
+    dk_jnp = boot.pack_bootstrap_key(bk, use_pallas=False)
+    dk_pal = boot.pack_bootstrap_key(bk, use_pallas=True)
+    B = 4
+    acc = jnp.asarray(rng.integers(0, p.Q, (B, 2, p.N)).astype(np.int32))
+    a2N = jnp.asarray(rng.integers(0, 2 * p.N, (B, p.n)).astype(np.int32))
+    want = np.asarray(boot.blind_rotate_ginx_dev(acc, a2N, dk_jnp))
+    got = np.asarray(boot._blind_rotate_fused(acc, a2N, dk_pal, interpret=True))
+    assert np.array_equal(got, want)
+
+
+def test_ap_megakernel_matches_golden_interpret():
+    """Binary-base AP megakernel == golden AP bootstrap, bit-exact."""
+    import dataclasses
+
+    from oece_tpu.fhe import boot, golden, lwe
+    from oece_tpu.fhe.params import MICRO_A, BinFHEMethod, BinGate
+
+    p = dataclasses.replace(MICRO_A, name="MICRO_A2", B_r=2)
+    rng = np.random.default_rng(11)
+    sk = golden.lwe_keygen(p, rng)
+    bk = golden.bootstrap_keygen(p, sk, rng, BinFHEMethod.AP)
+    dk = boot.pack_bootstrap_key(bk, use_pallas=True)
+    assert dk.ap_pallas is not None and dk.ap_pallas.shape[0] == p.n * p.d_r
+    B = 4
+    bits1 = rng.integers(0, 2, B)
+    bits2 = rng.integers(0, 2, B)
+    c1 = lwe.encrypt_bits(sk, bits1, rng)
+    c2 = lwe.encrypt_bits(sk, bits2, rng)
+    gids = rng.integers(0, len(boot.GATE_ORDER), B).astype(np.int32)
+    import oece_tpu.fhe.boot as bootmod
+
+    old = bootmod.PALLAS_INTERPRET
+    bootmod.PALLAS_INTERPRET = True
+    try:
+        got = np.asarray(
+            boot.eval_bin_gate_batch(
+                dk, jnp.asarray(gids), jnp.asarray(c1), jnp.asarray(c2)
+            )
+        )
+    finally:
+        bootmod.PALLAS_INTERPRET = old
+    for b in range(B):
+        gate = boot.GATE_ORDER[int(gids[b])]
+        want = golden.eval_bin_gate(p, bk, gate, c1[b], c2[b])
+        assert np.array_equal(got[b] % p.q, want % p.q), (b, gate)
