@@ -42,9 +42,12 @@ from .params import BinFHEParams, BinFHEMethod, BinGate, Q27
 # Largest per-kernel-call batch (VMEM bound); bigger batches are chunked.
 PALLAS_MAX_B = 512
 
-# Fully-fused single-kernel CMUX step (pallas_kernels.fused_step_pallas);
-# set OECE_FUSED=0 to fall back to the split matmul + jnp-rotation pipeline.
-USE_FUSED_STEP = os.environ.get("OECE_FUSED", "1") != "0"
+# Fully-fused single-kernel blind rotation (pallas_kernels megakernels);
+# OECE_FUSED=1 opts in.  Default OFF (ADVICE r2): the megakernel must prove
+# a tractable compile + a verified encrypted result on real hardware before
+# becoming the production default; the split fused_step/jnp pipeline below is
+# the hardware-verified path (BENCH_r01).  bench.py flips this per-tier.
+USE_FUSED_STEP = os.environ.get("OECE_FUSED", "0") == "1"
 FUSED_MAX_B = 1024  # megakernel batch chunk (VMEM-bound; ~65 MiB at STD128)
 
 # Run Pallas kernels in interpreter mode (tests on the virtual CPU mesh can
@@ -322,7 +325,10 @@ def _external_cmux_pallas(acc, a_col, kwin_i, p: BinFHEParams):
     B = acc.shape[0]
     digs = _digits_rbn(acc, p)  # [R, B, N]
     dt = pk.pack_digits_for_pallas(digs)  # [nt, B, R*128]
-    P4 = pk.negacyclic_matmul_combine(dt, kwin_i, 2 * p.d_g_used, Q, max_b=PALLAS_MAX_B)
+    P4 = pk.negacyclic_matmul_combine(
+        dt, kwin_i, 2 * p.d_g_used, Q, max_b=PALLAS_MAX_B,
+        interpret=PALLAS_INTERPRET,
+    )
     P = P4.reshape(B, 2, 2, N)  # [B, part, out, N] mod Q
     c_pos = (2 * N - a_col) & (2 * N - 1)
     rot_pos = monomial_rotate(P[:, 0], c_pos, N, Q)

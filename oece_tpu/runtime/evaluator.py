@@ -61,7 +61,13 @@ _PLAIN_FN = {
 
 
 def _round_up_pow2(x: int, lo: int = 32) -> int:
-    v = lo
+    """Padded batch size: grows as 32*2^k (bounded compile-shape count) and
+    is always a multiple of lcm(32, lo) so a dp mesh of ANY size — 6, 24, …
+    — shards the batch evenly (ADVICE r2)."""
+    import math
+
+    unit = 32 * lo // math.gcd(32, lo)
+    v = unit
     while v < x:
         v *= 2
     return v
@@ -388,7 +394,7 @@ class Circuit:
             [boot.GATE_INDEX[_OP_TO_GATE[Op(int(o))]] for o in ops], dtype=np.int32
         )
         B = W * T
-        Bpad = _round_up_pow2(B, lo=max(32, self._dp()))
+        Bpad = _round_up_pow2(B, lo=self._dp())
         arena = self._ct_arena
         c1 = arena[in0].reshape(B, -1)
         c2 = arena[in1].reshape(B, -1)
@@ -424,7 +430,7 @@ class Circuit:
         or_id = boot.GATE_INDEX[BinGate.OR]
         both_c1 = jnp.concatenate([a, na])
         both_c2 = jnp.concatenate([nb, b])
-        Bp = _round_up_pow2(2 * B, lo=max(32, self._dp()))
+        Bp = _round_up_pow2(2 * B, lo=self._dp())
         gids = jnp.full((Bp,), and_id, dtype=jnp.int32)
         if Bp != 2 * B:
             both_c1 = jnp.concatenate(
@@ -435,7 +441,7 @@ class Circuit:
             )
         ands = self._gate_batch(gids, both_c1, both_c2)[: 2 * B]
         t1, t2 = ands[:B], ands[B:]
-        Bp = _round_up_pow2(B, lo=max(32, self._dp()))
+        Bp = _round_up_pow2(B, lo=self._dp())
         gids = jnp.full((Bp,), or_id, dtype=jnp.int32)
         if Bp != B:
             t1 = jnp.concatenate([t1, jnp.zeros((Bp - B, t1.shape[1]), t1.dtype)])
