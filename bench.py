@@ -5,6 +5,21 @@ Every AND/OR/XOR gate of an encrypted circuit costs exactly one bootstrap
 in this framework, so this number divides directly into circuit wall-clocks
 (e.g. SHA-256 = 133,217 bootstraps / value, reported to stderr).
 
+Structure (VERDICT r2 #1: a benchmark that can output *nothing* is worse
+than a slower benchmark):
+
+  * The parent process is a tiny orchestrator.  It runs each measurement
+    TIER in a subprocess with a wall-clock budget; a tier whose XLA/Mosaic
+    compile hangs is killed without taking the benchmark down.
+  * Tier "split"  = the hardware-proven split Pallas pipeline (OECE_FUSED=0,
+    the r1 path).  Tier "fused" = the single-megakernel blind rotation
+    (OECE_FUSED=1).  The best verified number wins.
+  * SIGTERM/SIGALRM print the best-so-far JSON before exiting, so even an
+    external `timeout` on the parent still yields a parsable line.
+  * Both tiers share the on-disk key cache (fhe/keycache.py) and the
+    persistent XLA compilation cache (utils/compcache.py), so a warm rerun
+    measures in ~2 min.
+
 Measurement methodology: batches are CHAINED — batch i+1's input
 ciphertexts are batch i's outputs (exactly how a real circuit evaluates) —
 because the TPU tunnel used for driver runs memoizes executions with
@@ -21,6 +36,8 @@ x 32 threads with perfect OpenMP scaling (circuit.cpp:698-710).  The
 
 import json
 import os
+import signal
+import subprocess
 import sys
 import time
 
@@ -29,11 +46,39 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 REFERENCE_CPU_BOOTS_PER_SEC = 400.0
+BASELINE_BASIS = (
+    "estimate: OpenFHE binfhe GINX ~12 boots/s/core x 32 cores "
+    "(no published reference numbers)"
+)
 
-TRUTH = None  # set in main after imports
+# Parent wall-clock budget (s).  The driver's own timeout killed BENCH_r02
+# with nothing printed; this budget keeps the final print inside it.
+TOTAL_BUDGET_S = float(os.environ.get("OECE_BENCH_BUDGET_S", "2400"))
+# Reserve at the end for JSON assembly + interpreter teardown.
+MARGIN_S = 20.0
+# Don't start a tier with less than this left (keygen+pack+measure floor).
+TIER_MIN_S = 240.0
 
 
-def main():
+def _result_json(value, params_name, extra=None):
+    d = {
+        "metric": f"gate_bootstraps_per_sec_per_chip_{params_name}_GINX",
+        "value": round(float(value), 1),
+        "unit": "bootstraps/s",
+        "vs_baseline": round(float(value) / REFERENCE_CPU_BOOTS_PER_SEC, 3),
+        "baseline_basis": BASELINE_BASIS,
+    }
+    if extra:
+        d.update(extra)
+    return d
+
+
+def run_tier(tier: str) -> None:
+    """Measure one pipeline configuration in-process; print ONE JSON line."""
+    os.environ["OECE_FUSED"] = "1" if tier == "fused" else "0"
+    from oece_tpu.utils import apply_platform_env
+
+    apply_platform_env()  # dev: OECE_PLATFORM=cpu forces the CPU backend
     import jax
     import jax.numpy as jnp
 
@@ -42,18 +87,24 @@ def main():
     enable_compilation_cache()
 
     from oece_tpu.fhe import boot, keycache, lwe
-    from oece_tpu.fhe.params import STD128_OPT, TOY, BinFHEMethod, BinGate
+    from oece_tpu.fhe.params import STD128_OPT, TOY, BinFHEMethod
 
     backend = jax.default_backend()
     on_accel = backend not in ("cpu",)
     params = STD128_OPT if on_accel else TOY  # CPU fallback stays quick
     t0 = time.time()
-    sk, bk = keycache.load_or_generate(params, BinFHEMethod.GINX, 0)
-    print(f"# keys ready in {time.time()-t0:.1f}s ({params.name})", file=sys.stderr)
+    if on_accel:
+        # Keys are generated ON DEVICE from a seed (fhe/devkeygen.py): the
+        # tunnel's host->device path moves ~1 MB/s, so uploading the ~500 MB
+        # host-packed key poisoned every earlier BENCH attempt.  Only the
+        # 2 KB LWE secret comes back for host encrypt/decrypt.
+        from oece_tpu.fhe import devkeygen
 
-    t0 = time.time()
-    dkeys = boot.pack_bootstrap_key(bk)
-    print(f"# packed keys in {time.time()-t0:.1f}s", file=sys.stderr)
+        sk, _z, dkeys = devkeygen.device_keygen(params, seed=0)
+    else:
+        sk, bk = keycache.load_or_generate(params, BinFHEMethod.GINX, 0)
+        dkeys = boot.pack_bootstrap_key(bk)
+    print(f"# keys ready in {time.time()-t0:.1f}s ({params.name})", file=sys.stderr)
 
     truth = [
         lambda a, b: a & b, lambda a, b: a | b, lambda a, b: 1 - (a & b),
@@ -69,16 +120,20 @@ def main():
     gids_np = [rng.integers(0, 6, B).astype(np.int32) for _ in range(K)]
     gids = [jnp.asarray(g) for g in gids_np]
 
-    fn = jax.jit(boot.eval_bin_gate_batch)
+    # keys captured by CLOSURE, not passed as call arguments: the tunnel
+    # re-processes argument buffers per call (~15 s/call for the 494 MB key
+    # pytree — measured), while closure-captured buffers bind once at
+    # compile time.
+    fn = jax.jit(lambda g, a, b: boot.eval_bin_gate_batch(dkeys, g, a, b))
     t0 = time.time()
-    fn(dkeys, gids[0], c1, c2).block_until_ready()
+    np.asarray(fn(gids[0], c1, c2)[0, :1])  # fetch = the only real barrier
     print(f"# compile+first batch {time.time()-t0:.1f}s", file=sys.stderr)
 
     # chained measurement (see module docstring)
     x1, x2 = c1, c2
     t0 = time.time()
     for it in range(K):
-        out = fn(dkeys, gids[it], x1, x2)
+        out = fn(gids[it], x1, x2)
         x1, x2 = out, jnp.roll(x1, 1, axis=0)
     out_np = np.asarray(x1)  # host transfer = real barrier
     dt = (time.time() - t0) / K
@@ -94,29 +149,107 @@ def main():
     got = lwe.decrypt_bits(sk, out_np)
     n_ok = int((got == b1).sum())
     print(
-        f"# {params.name}: {dt*1e3:.0f} ms / {B}-gate batch (chained x{K}); "
-        f"correct {n_ok}/{B}",
+        f"# {params.name} [{tier}]: {dt*1e3:.0f} ms / {B}-gate batch "
+        f"(chained x{K}); correct {n_ok}/{B}",
         file=sys.stderr,
     )
     sha256_boots = 133_217  # BASELINE.md: new-Bristol sha256, native XOR
     print(
         f"# projected SHA-256 wall-clock: {sha256_boots/boots_per_sec:.0f}s "
-        f"(x4-vector batch amortizes level fill)",
+        f"(x4-vector batch amortizes level fill; measured run: "
+        f"artifacts/sha256_std128_opt.json)",
         file=sys.stderr,
     )
 
     value = boots_per_sec if n_ok == B else 0.0
-    print(
-        json.dumps(
-            {
-                "metric": f"gate_bootstraps_per_sec_per_chip_{params.name}_GINX",
-                "value": round(value, 1),
-                "unit": "bootstraps/s",
-                "vs_baseline": round(value / REFERENCE_CPU_BOOTS_PER_SEC, 3),
-                "baseline_basis": "estimate: OpenFHE binfhe GINX ~12 boots/s/core x 32 cores (no published reference numbers)",
-            }
+    print(json.dumps(_result_json(value, params.name, {"tier": tier})))
+
+
+def _parse_tier_output(stdout: str):
+    """Last JSON-looking line of a tier subprocess, or None."""
+    for line in reversed(stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def main() -> None:
+    tier = os.environ.get("OECE_BENCH_TIER")
+    if tier:
+        run_tier(tier)
+        return
+
+    start = time.time()
+    deadline = start + TOTAL_BUDGET_S - MARGIN_S
+    best = None
+    done = False
+
+    def flush_best(signum=None, frame=None):
+        nonlocal done
+        if done:
+            return
+        done = True
+        if best is not None:
+            print(json.dumps(best), flush=True)
+        else:
+            print(
+                json.dumps(
+                    _result_json(
+                        0.0, "STD128_OPT", {"error": "no tier finished in budget"}
+                    )
+                ),
+                flush=True,
+            )
+        if signum is not None:
+            sys.exit(0)
+
+    signal.signal(signal.SIGTERM, flush_best)
+    signal.signal(signal.SIGALRM, flush_best)
+    signal.alarm(int(TOTAL_BUDGET_S))
+
+    # Tier order: hardware-proven pipeline first (guarantees a number),
+    # then the fused megakernel upgrade with whatever budget remains.
+    for tier_name in ("split", "fused"):
+        remaining = deadline - time.time()
+        if remaining < TIER_MIN_S and best is not None:
+            print(
+                f"# skipping tier {tier_name}: {remaining:.0f}s left",
+                file=sys.stderr,
+            )
+            continue
+        env = dict(os.environ, OECE_BENCH_TIER=tier_name)
+        print(
+            f"# tier {tier_name}: budget {remaining:.0f}s", file=sys.stderr
         )
-    )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=sys.stderr,
+                timeout=max(remaining, 30.0),
+                text=True,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"# tier {tier_name}: TIMED OUT", file=sys.stderr)
+            continue
+        res = _parse_tier_output(proc.stdout or "")
+        if res is None or proc.returncode != 0:
+            print(
+                f"# tier {tier_name}: failed rc={proc.returncode}",
+                file=sys.stderr,
+            )
+            continue
+        if res.get("value", 0.0) > 0.0 and (
+            best is None or res["value"] > best["value"]
+        ):
+            best = res
+
+    flush_best()
 
 
 if __name__ == "__main__":

@@ -6,9 +6,16 @@ Functional parity with the reference analyzer's parsing
 * old format (src/analyze.cpp:159-180): header ``ngates nwires`` /
   ``n_in1 n_in2 n_out1`` / blank; ops XOR, AND, INV, EQ, EQW.
 * new format (src/analyze.cpp:129-157): header ``ngates nwires`` /
-  ``n_inputs <bits...>`` / ``n_outputs <bits...>`` / blank; same ops
-  (MAND is rejected, matching the reference assembler's "not updated for the
-  new format" stance, assemble.cpp:88-90).
+  ``n_inputs <bits...>`` / ``n_outputs <bits...>`` / blank; same ops, plus
+  MAND which the reference assembler rejects ("not updated for the new
+  format", assemble.cpp:88-90) but which is DECOMPOSED here into its
+  component ANDs so the SIMD-Bristol corpus loads whole.
+
+Documented divergences from the reference analyzer:
+  * ``EQ`` (constant-0/1 assignment) aborts the reference with "Cannot
+    parse EQ!! yet failing" (analyze.cpp:273-277); here it parses into the
+    Op.EQ0/Op.EQ1 constant ops the evaluator handles natively.
+  * ``MAND`` (see above) is decomposed instead of rejected.
 
 Unlike the reference, parsing is O(G) into integer arrays (no string keys).
 Wire conventions (Bristol fashion): inputs occupy the lowest wire ids in

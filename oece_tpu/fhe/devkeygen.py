@@ -1,0 +1,221 @@
+"""DEVICE-side bootstrap key generation + packing (GINX, Pallas layout).
+
+Production key path for TPU deployment: the reference regenerates its keys
+host-side every run (``BTKeyGen``, circuit.cpp:91) and OpenFHE ships them to
+wherever they are used; here the whole key — RGSW refresh keys, key-switch
+key — is *generated on the accelerator* from a PRNG seed.  Only the seed
+crosses the host/device boundary (plus the 2 KB LWE secret coming back for
+host-side encrypt/decrypt).
+
+Why this matters doubly on this rig: the TPU is reached through a relay
+whose host->device path moves ~1 MB/s, so uploading the ~500 MB packed key
+(fhe/boot.pack_bootstrap_key) costs minutes-to-hours; device generation
+costs seconds and is deterministic in the seed (threefry is
+backend-independent, so CPU tests predict TPU keys exactly).
+
+Structure mirrors fhe/golden.py's keygen semantics (same distributions,
+same RGSW row layout, same packing as fhe/boot.pack_bootstrap_key /
+pallas_kernels.pack_keys_for_pallas — pinned bit-exactly by
+tests/test_devkeygen.py), but all arrays are jnp and the negacyclic
+products run as one int8 MXU matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import boot, golden, modmath
+from . import pallas_kernels as pk
+from .params import BinFHEParams, BinFHEMethod
+
+TILE, SPAN, SPANW = pk.TILE, pk.SPAN, pk.SPANW
+
+
+# ---------------------------------------------------------------------------
+# device sampling (threefry — identical values on CPU and TPU backends)
+# ---------------------------------------------------------------------------
+
+
+def _ternary(key, shape):
+    return jax.random.randint(key, shape, -1, 2, jnp.int32)
+
+
+def _uniform_mod(key, shape, mod):
+    return jax.random.randint(key, shape, 0, mod, jnp.int32)
+
+
+def _gauss(key, sigma, shape):
+    """Rounded continuous Gaussian (golden.gauss semantics)."""
+    return jnp.rint(sigma * jax.random.normal(key, shape, jnp.float32)).astype(
+        jnp.int32
+    )
+
+
+# ---------------------------------------------------------------------------
+# device ring arithmetic
+# ---------------------------------------------------------------------------
+
+
+def _negacyclic_by_ternary(A, z, Q):
+    """A [..., N] int32 mod Q  ⊛  z [N] ternary -> [..., N] mod Q.
+
+    Dense negacyclic matrix of z is int8 (entries in {-1, 0, 1}); A splits
+    into 4 signed base-256 limbs so the contraction is an exact int8 MXU
+    matmul with int32 accumulation (|sum| <= N * 128 < 2**18 per limb).
+    """
+    N = A.shape[-1]
+    i = jnp.arange(N, dtype=jnp.int32)
+    idx = (i[None, :] - i[:, None]) & (2 * N - 1)  # [i, k] -> (k - i) mod 2N
+    zext = jnp.concatenate([z, -z]).astype(jnp.int8)
+    Zm = jnp.take(zext, idx, axis=0)  # [N, N] int8
+    limbs = _to_limbs_i8_dev(A)  # [..., N, 4]
+    flat = jnp.moveaxis(limbs, -1, -2).reshape(-1, N).astype(jnp.int8)
+    prod = jax.lax.dot_general(
+        flat, Zm, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    ).reshape(*A.shape[:-1], 4, N)
+    return modmath.combine_limbs_mod_q(jnp.moveaxis(prod, -2, -1), Q)
+
+
+def _to_limbs_i8_dev(v):
+    """modmath.to_limbs_i8 on device: [...,] int32 in [0, 2**31) ->
+    [..., 4] int8 signed base-256 limbs, exact."""
+    digs = []
+    cur = v
+    for _ in range(modmath.N_LIMBS - 1):
+        r = cur & 0xFF
+        r = r - ((r >= 128) << 8)
+        digs.append(r.astype(jnp.int8))
+        cur = (cur - r) >> 8
+    digs.append(cur.astype(jnp.int8))
+    return jnp.stack(digs, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# packing (pallas_kernels.pack_keys_for_pallas on device)
+# ---------------------------------------------------------------------------
+
+
+def _pack_windows(keys_ext, N):
+    """keys_ext [..., RM, 2N] int8 -> [..., 2*nt-1, 4, RM*SPANW] int32.
+
+    jnp port of pack_keys_for_pallas: cyclic extension, SPAN-byte windows at
+    4 byte phases, 4 bytes packed per int32 lane (little-endian)."""
+    nt = N // TILE
+    ndiag = 2 * nt - 1
+    two_n = 2 * N
+    ext = jnp.concatenate([keys_ext, keys_ext], axis=-1)  # cyclic, 2*2N >= 2N+SPAN+4
+    starts = (jnp.arange(ndiag, dtype=jnp.int32) - nt) * TILE % two_n
+    t = jnp.arange(SPAN, dtype=jnp.int32)
+    v = jnp.arange(4, dtype=jnp.int32)
+    idx = (starts[:, None, None] + v[None, :, None] + t[None, None, :])
+    # gather along the last axis: [..., RM, ndiag, 4, SPAN]
+    wins = jnp.take(ext, idx.reshape(-1), axis=-1).reshape(
+        *keys_ext.shape[:-1], ndiag, 4, SPAN
+    )
+    b = wins.astype(jnp.int32) & 0xFF
+    w = (
+        b[..., 0::4]
+        | (b[..., 1::4] << 8)
+        | (b[..., 2::4] << 16)
+        | (b[..., 3::4] << 24)
+    )  # [..., RM, ndiag, 4, SPANW]
+    # -> [..., ndiag, 4, RM*SPANW]
+    w = jnp.moveaxis(w, -4, -2)  # [..., ndiag, 4, RM, SPANW]
+    return w.reshape(*w.shape[:-2], w.shape[-2] * SPANW)
+
+
+def _ext_limb_planes(polys, Q):
+    """[..., N] int32 mod Q -> [..., L, 2N] int8 (boot._poly_ext_limbs)."""
+    neg = jnp.where(polys == 0, 0, Q - polys)
+    ext = jnp.concatenate([polys, neg], axis=-1)  # [..., 2N]
+    limbs = _to_limbs_i8_dev(ext)  # [..., 2N, L]
+    return jnp.moveaxis(limbs, -1, -2)  # [..., L, 2N]
+
+
+# ---------------------------------------------------------------------------
+# key generation
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _keygen_jit(params: BinFHEParams, seed):
+    p = params
+    n, N, Q, Qks = p.n, p.N, p.Q, p.Q_ks
+    d = p.d_g_used
+    shift = p.g_shift
+    root = jax.random.PRNGKey(seed)
+    k_s, k_z, k_ba, k_be, k_aa, k_ae, k_ka, k_ke = jax.random.split(root, 8)
+
+    s = _ternary(k_s, (n,))
+    z = _ternary(k_z, (N,))
+
+    # ---- GINX refresh keys --------------------------------------------------
+    # golden.rgsw_encrypt layout: rows j<d are "a-part" (a + m*g, a*z + e);
+    # rows d+j are "b-part" (a, a*z + e + m*g).  parts: m = (s==1), (s==-1).
+    A = _uniform_mod(k_ba, (n, 2, 2 * d, N), Q)
+    E = _gauss(k_be, p.sigma, (n, 2, 2 * d, N))
+    B = modmath.mod_q(_negacyclic_by_ternary(A, z, Q) + E + 2 * Q, Q)
+    m = jnp.stack([(s == 1), (s == -1)], axis=1).astype(jnp.int32)  # [n, 2]
+    g = jnp.asarray(
+        [(pow(p.B_g, j, Q) << shift) % Q for j in range(d)], jnp.int32
+    )  # [d]
+    mg = m[:, :, None] * g[None, None, :]  # [n, 2, d] (< Q since m in {0,1})
+    zero = jnp.zeros_like(mg)
+    add_a = jnp.concatenate([mg, zero], axis=2)[..., None]  # rows j<d: a += m*g
+    add_b = jnp.concatenate([zero, mg], axis=2)[..., None]  # rows d+j: b += m*g
+    coeff0 = jnp.zeros((N,), jnp.int32).at[0].set(1)  # m is a scalar message
+    a_slot = modmath.mod_q(A + add_a * coeff0, Q)
+    b_slot = modmath.mod_q(B + add_b * coeff0, Q)
+    brk = jnp.stack([a_slot, b_slot], axis=3)  # [n, parts, rows, out, N]
+
+    # ---- pack for the Pallas kernel ----------------------------------------
+    kext = _ext_limb_planes(brk, Q)  # [n, parts, rows, out, L, 2N]
+    RM = 2 * d * 2 * 2 * modmath.N_LIMBS
+    perm = jnp.transpose(kext, (0, 2, 1, 3, 4, 5)).reshape(n, RM, 2 * N)
+    wins = _pack_windows(perm.astype(jnp.int8), N)  # [n, ndiag, 4, RM*SPANW]
+
+    # ---- key-switch key -----------------------------------------------------
+    d_ks, B_ks = p.d_ks, p.B_ks
+    Aks = _uniform_mod(k_ka, (N * d_ks, n), Qks)
+    Eks = _gauss(k_ke, p.sigma, (N * d_ks,))
+    gk = jnp.asarray([pow(B_ks, j, Qks) for j in range(d_ks)], jnp.int32)
+    zg = (jnp.repeat(z, d_ks) * jnp.tile(gk, N)) % Qks  # [N*d_ks]
+    bks = (jnp.einsum("ki,i->k", Aks, s) + Eks + zg) % Qks
+    ksk = jnp.concatenate([Aks, bks[:, None]], axis=1)  # [N*d_ks, n+1] mod Qks
+    kc = ksk - (ksk >= Qks // 2) * Qks  # centered
+    l0 = kc - ((kc + 128) >> 8 << 8)
+    l1 = (kc - l0) >> 8
+    ksk_limbs = jnp.stack([l0, l1], axis=-1).astype(jnp.int8)
+
+    return s, z, wins, ksk_limbs
+
+
+def device_keygen(
+    params: BinFHEParams, seed: int = 0
+) -> tuple[golden.LWESecretKey, jnp.ndarray, boot.DeviceBootKeys]:
+    """Generate GINX bootstrap keys ON DEVICE from a seed.
+
+    Returns (sk_host, z_dev, DeviceBootKeys) — the LWE secret is downloaded
+    (2 KB) so the host can encrypt/decrypt; everything else stays on device.
+    """
+    assert params.N % TILE == 0, "Pallas layout requires N % 128 == 0"
+    s, z, wins, ksk_limbs = _keygen_jit(params, seed)
+    s_host = np.asarray(s).astype(np.int64)  # 2 KB fetch (barrier)
+    sk = golden.LWESecretKey(s=s_host, params=params)
+    tv = np.stack(
+        [golden.make_test_vector(params, g) for g in boot.GATE_ORDER]
+    ).astype(np.int64)
+    dkeys = boot.DeviceBootKeys(
+        params=params,
+        method=BinFHEMethod.GINX,
+        ginx_kext=None,
+        ap_kext=None,
+        ksk=ksk_limbs,
+        tv_table=jnp.asarray(tv, dtype=jnp.int32),
+        ginx_pallas=wins,
+    )
+    return sk, z, dkeys

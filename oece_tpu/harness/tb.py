@@ -219,6 +219,9 @@ BENCHES = {
 
 
 def main(argv=None):
+    from ..utils import apply_platform_env
+
+    apply_platform_env()  # JAX_PLATFORMS=cpu works even under the axon plugin
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] not in list(BENCHES) + ["all"]:
         print(f"usage: python -m oece_tpu.harness.tb <{'|'.join(BENCHES)}|all> [flags]")

@@ -121,12 +121,24 @@ class Circuit:
         self._sharded_gate_fn = None
         if generate_keys:
             t0 = time.time()
-            self.sk = golden.lwe_keygen(self.params, self._rng)
-            self.bk = golden.bootstrap_keygen(self.params, self.sk, self._rng, self.method)
-            use_pallas = None
-            if mesh is not None and mesh.shape.get("tp", 1) > 1:
-                use_pallas = False  # tp shards the jnp key layout
-            self.dkeys = boot.pack_bootstrap_key(self.bk, use_pallas=use_pallas)
+            if self._use_device_keygen(mesh):
+                # TPU path: keys generated on device from a seed — no
+                # multi-hundred-MB host->device key upload (fhe/devkeygen.py)
+                from ..fhe import devkeygen
+
+                kg_seed = int(self._rng.integers(0, 2**31))
+                self.sk, _z, self.dkeys = devkeygen.device_keygen(
+                    self.params, seed=kg_seed
+                )
+            else:
+                self.sk = golden.lwe_keygen(self.params, self._rng)
+                self.bk = golden.bootstrap_keygen(
+                    self.params, self.sk, self._rng, self.method
+                )
+                use_pallas = None
+                if mesh is not None and mesh.shape.get("tp", 1) > 1:
+                    use_pallas = False  # tp shards the jnp key layout
+                self.dkeys = boot.pack_bootstrap_key(self.bk, use_pallas=use_pallas)
             if mesh is not None:
                 self.setMesh(mesh)
             if verbose:
@@ -147,6 +159,21 @@ class Circuit:
         self.manager_time = 0.0
         self.exec_time = 0.0
         self._done = False
+
+    def _use_device_keygen(self, mesh) -> bool:
+        """Device keygen serves the TPU GINX Pallas path; host/golden keygen
+        remains for CPU runs, AP, and tp-sharded jnp layouts."""
+        import os as _os
+
+        if _os.environ.get("OECE_HOST_KEYGEN") == "1":
+            return False
+        if self.method != BinFHEMethod.GINX or self.params.N % 128 != 0:
+            return False
+        if mesh is not None and mesh.shape.get("tp", 1) > 1:
+            return False
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
 
     # -- file loading (ReadFile parity, circuit.cpp:102-366) ----------------
     def ReadFile(self, fname: str) -> None:
@@ -189,7 +216,19 @@ class Circuit:
     def _gate_batch(self, gids, c1, c2):
         if self._sharded_gate_fn is not None:
             return self._sharded_gate_fn(gids, c1, c2)
-        return _jit_gate_batch(self.dkeys, gids, c1, c2)
+        # Keys are captured by CLOSURE: passing the multi-hundred-MB key
+        # pytree as a per-call argument costs ~15 s/call through the axon
+        # tunnel (it re-processes argument buffers every call), while
+        # closure-captured buffers bind once.  Rebuilt only if keys change.
+        if getattr(self, "_gate_fn_keys", None) is not self.dkeys:
+            import jax
+
+            dk = self.dkeys
+            self._gate_fn = jax.jit(
+                lambda g, a, b: boot.eval_bin_gate_batch(dk, g, a, b)
+            )
+            self._gate_fn_keys = dk
+        return self._gate_fn(gids, c1, c2)
 
     # -- mode setters (circuit.cpp:819-842 parity) --------------------------
     def setPlaintext(self, flag: bool) -> None:
@@ -566,10 +605,21 @@ class Circuit:
 
     # -- dumps (circuit.cpp:844-873 parity) ---------------------------------
     def dumpNetList(self) -> None:
+        """Full per-wire fanout listing (circuit.cpp:844-854 parity: one
+        line per wire, the wire's name followed by the gates it feeds).
+        Wires are integer ids here; gates are named ``g<k>`` by file order,
+        mirroring the reference's generated gate names."""
         nl = self.netlist
-        print(f"netlist {nl.name}: {nl.n_wires} wires, {nl.n_gates} gates")
-        print(f"  inputs : {nl.input_bits} bits")
-        print(f"  outputs: {nl.output_bits} bits")
+        print("Netlist ")
+        print(f"# {nl.name}: {nl.n_wires} wires, {nl.n_gates} gates, "
+              f"inputs {nl.input_bits} bits, outputs {nl.output_bits} bits")
+        fan: Dict[int, List[int]] = {}
+        for k in range(nl.n_gates):
+            fan.setdefault(int(nl.in0[k]), []).append(k)
+            if nl.in1[k] != nl.in0[k]:
+                fan.setdefault(int(nl.in1[k]), []).append(k)
+        for w in sorted(fan):
+            print(f"w{w} " + " ".join(f"g{k}" for k in fan[w]))
 
     def dumpGates(self) -> None:
         nl = self.netlist
@@ -586,12 +636,3 @@ class Circuit:
             print(f"  bad gates fixed: {self.bad_gate_counts}")
 
 
-@functools.lru_cache(maxsize=1)
-def _gate_batch_jit():
-    import jax
-
-    return jax.jit(boot.eval_bin_gate_batch)
-
-
-def _jit_gate_batch(dkeys, gids, c1, c2):
-    return _gate_batch_jit()(dkeys, gids, c1, c2)
