@@ -115,25 +115,34 @@ def run_tier(tier: str) -> None:
     K = 10 if on_accel else 3  # chained batches
     m1 = rng.integers(0, 2, B)
     m2 = rng.integers(0, 2, B)
-    c1 = jnp.asarray(lwe.encrypt_bits(sk, m1, rng))
-    c2 = jnp.asarray(lwe.encrypt_bits(sk, m2, rng))
+    if on_accel:
+        # encrypt ON DEVICE: only the plaintext bits cross the relay
+        s_dev = jnp.asarray(np.asarray(sk.s, dtype=np.int32))
+        kk = jax.random.PRNGKey(99)
+        k1, k2 = jax.random.split(kk)
+        c1 = lwe.encrypt_bits_dev(s_dev, jnp.asarray(m1, jnp.int32), k1, params)
+        c2 = lwe.encrypt_bits_dev(s_dev, jnp.asarray(m2, jnp.int32), k2, params)
+    else:
+        c1 = jnp.asarray(lwe.encrypt_bits(sk, m1, rng))
+        c2 = jnp.asarray(lwe.encrypt_bits(sk, m2, rng))
     gids_np = [rng.integers(0, 6, B).astype(np.int32) for _ in range(K)]
     gids = [jnp.asarray(g) for g in gids_np]
 
-    # keys captured by CLOSURE, not passed as call arguments: the tunnel
-    # re-processes argument buffers per call (~15 s/call for the 494 MB key
-    # pytree — measured), while closure-captured buffers bind once at
-    # compile time.
-    fn = jax.jit(lambda g, a, b: boot.eval_bin_gate_batch(dkeys, g, a, b))
+    # Keys pass as jit ARGUMENTS — but they are DEVICE-GENERATED
+    # (devkeygen), which matters through the tunnel: device-resident args
+    # cost ~5 ms/call, while host-uploaded arg buffers are re-processed
+    # every call (~15 s/call for 494 MB) and closure-captured arrays get
+    # embedded in the remote-compile request (HTTP 413 at key size).
+    fn = jax.jit(boot.eval_bin_gate_batch)
     t0 = time.time()
-    np.asarray(fn(gids[0], c1, c2)[0, :1])  # fetch = the only real barrier
+    np.asarray(fn(dkeys, gids[0], c1, c2)[0, :1])  # fetch = the real barrier
     print(f"# compile+first batch {time.time()-t0:.1f}s", file=sys.stderr)
 
     # chained measurement (see module docstring)
     x1, x2 = c1, c2
     t0 = time.time()
     for it in range(K):
-        out = fn(gids[it], x1, x2)
+        out = fn(dkeys, gids[it], x1, x2)
         x1, x2 = out, jnp.roll(x1, 1, axis=0)
     out_np = np.asarray(x1)  # host transfer = real barrier
     dt = (time.time() - t0) / K

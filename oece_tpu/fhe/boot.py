@@ -102,22 +102,28 @@ class DeviceBootKeys:
     tv_table: jnp.ndarray
     ginx_pallas: Optional[jnp.ndarray] = None
     ap_pallas: Optional[jnp.ndarray] = None
+    # Prebuilt TRUE-layout reversed-diagonal dense blocks, int8
+    # [n, (2*nt-1)*R*128, M*128] (fhe/devkeygen.py; the round-3 hot path —
+    # kills the per-step dense build and the lane permutation entirely).
+    ginx_rev: Optional[jnp.ndarray] = None
 
 
 def _dbk_flatten(k: DeviceBootKeys):
     return (
-        (k.ginx_kext, k.ap_kext, k.ksk, k.tv_table, k.ginx_pallas, k.ap_pallas),
+        (k.ginx_kext, k.ap_kext, k.ksk, k.tv_table, k.ginx_pallas,
+         k.ap_pallas, k.ginx_rev),
         (k.params, k.method),
     )
 
 
 def _dbk_unflatten(aux, children):
     params, method = aux
-    ginx_kext, ap_kext, ksk, tv_table, ginx_pallas, ap_pallas = children
+    (ginx_kext, ap_kext, ksk, tv_table, ginx_pallas, ap_pallas,
+     ginx_rev) = children
     return DeviceBootKeys(
         params=params, method=method, ginx_kext=ginx_kext, ap_kext=ap_kext,
         ksk=ksk, tv_table=tv_table, ginx_pallas=ginx_pallas,
-        ap_pallas=ap_pallas,
+        ap_pallas=ap_pallas, ginx_rev=ginx_rev,
     )
 
 
@@ -372,12 +378,43 @@ def _external_cmux_ginx(acc, a_col, kext_i, idx2n, p: BinFHEParams, tp_axis=None
     return modmath.red31(y, Q)
 
 
+def _external_cmux_prebuilt(acc, a_col, rev_i, p: BinFHEParams, interpret=None):
+    """One GINX step against a PREBUILT true-layout dense block (the round-3
+    hot path): decompose (jnp) -> one window-span MXU dot per output tile
+    with the limb combine fused -> in-VMEM rotation/CMUX epilogue.
+    Bit-exact equal to _external_cmux_ginx given equivalent key material."""
+    if interpret is None:
+        interpret = PALLAS_INTERPRET
+    Q, N = p.Q, p.N
+    B = acc.shape[0]
+    digs = _digits_rbn(acc, p)  # [R, B, N]
+    dr = pk.pack_digits_rows(digs)  # [B, nt*R*128]
+    P4 = pk.window_matmul_true(
+        dr, rev_i, 2 * p.d_g_used, Q, block_b=FUSED_MAX_B, interpret=interpret
+    )  # [B, 4, N] mod Q, (part, out) planes
+    c_pos = (2 * N - a_col) & (2 * N - 1)
+    amt = jnp.stack([c_pos, a_col], axis=1)  # [B, 2]
+    return pk.cmux_epilogue_true(
+        P4.reshape(B, 2, 2, N), acc, amt, Q, block_b=FUSED_MAX_B,
+        interpret=interpret,
+    )
+
+
 def blind_rotate_ginx_dev(
     acc: jnp.ndarray, a2N: jnp.ndarray, keys: DeviceBootKeys, tp_axis=None
 ) -> jnp.ndarray:
     """Scan the n CMUX steps.  a2N: int32 [B, n] in [0, 2N)."""
     p = keys.params
     N = p.N
+    if keys.ginx_rev is not None:
+        assert tp_axis is None, "tensor parallelism uses the jnp key layout"
+
+        def body_prebuilt(carry, xs):
+            a_col, rev_i = xs
+            return _external_cmux_prebuilt(carry, a_col, rev_i, p), None
+
+        acc, _ = jax.lax.scan(body_prebuilt, acc, (a2N.T, keys.ginx_rev))
+        return acc
     if keys.ginx_pallas is not None:
         assert tp_axis is None, "tensor parallelism uses the jnp key layout"
         if USE_FUSED_STEP:

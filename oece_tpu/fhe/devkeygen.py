@@ -136,6 +136,34 @@ def _ext_limb_planes(polys, Q):
     return jnp.moveaxis(limbs, -1, -2)  # [..., L, 2N]
 
 
+def _build_rev_true(perm, R, N):
+    """perm int8 [n, RM, 2N] -> prebuilt TRUE-layout reversed diagonals
+    int8 [n, (2*nt-1)*R*TILE, M*TILE] (pk.build_rev_true_host bit-exact).
+
+    Built per step with lax.map: the full-array gather+transpose would peak
+    at 2x the ~8 GB output at STD128_OPT."""
+    n, RM, two_n = perm.shape
+    N_ = two_n // 2
+    assert N_ == N
+    M = RM // R
+    nt = N // TILE
+    ndiag = 2 * nt - 1
+    dp = jnp.arange(ndiag, dtype=jnp.int32)[:, None, None]
+    u = jnp.arange(TILE, dtype=jnp.int32)[None, :, None]
+    t = jnp.arange(TILE, dtype=jnp.int32)[None, None, :]
+    idx = ((nt - 1 - dp) * TILE + t - u) % two_n  # [ndiag, T, T]
+    idx_flat = idx.reshape(-1)
+
+    def one(perm_i):
+        g = jnp.take(perm_i, idx_flat, axis=-1)  # [RM, ndiag*T*T]
+        g = g.reshape(R, M, ndiag, TILE, TILE)
+        return jnp.transpose(g, (2, 0, 3, 1, 4)).reshape(
+            ndiag * R * TILE, M * TILE
+        )
+
+    return jax.lax.map(one, perm)
+
+
 # ---------------------------------------------------------------------------
 # key generation
 # ---------------------------------------------------------------------------
@@ -172,11 +200,11 @@ def _keygen_jit(params: BinFHEParams, seed):
     b_slot = modmath.mod_q(B + add_b * coeff0, Q)
     brk = jnp.stack([a_slot, b_slot], axis=3)  # [n, parts, rows, out, N]
 
-    # ---- pack for the Pallas kernel ----------------------------------------
+    # ---- pack for the Pallas kernels ---------------------------------------
     kext = _ext_limb_planes(brk, Q)  # [n, parts, rows, out, L, 2N]
     RM = 2 * d * 2 * 2 * modmath.N_LIMBS
     perm = jnp.transpose(kext, (0, 2, 1, 3, 4, 5)).reshape(n, RM, 2 * N)
-    wins = _pack_windows(perm.astype(jnp.int8), N)  # [n, ndiag, 4, RM*SPANW]
+    rev = _build_rev_true(perm.astype(jnp.int8), 2 * d, N)
 
     # ---- key-switch key -----------------------------------------------------
     d_ks, B_ks = p.d_ks, p.B_ks
@@ -191,7 +219,7 @@ def _keygen_jit(params: BinFHEParams, seed):
     l1 = (kc - l0) >> 8
     ksk_limbs = jnp.stack([l0, l1], axis=-1).astype(jnp.int8)
 
-    return s, z, wins, ksk_limbs
+    return s, z, rev, ksk_limbs
 
 
 def device_keygen(
@@ -203,7 +231,7 @@ def device_keygen(
     (2 KB) so the host can encrypt/decrypt; everything else stays on device.
     """
     assert params.N % TILE == 0, "Pallas layout requires N % 128 == 0"
-    s, z, wins, ksk_limbs = _keygen_jit(params, seed)
+    s, z, rev, ksk_limbs = _keygen_jit(params, seed)
     s_host = np.asarray(s).astype(np.int64)  # 2 KB fetch (barrier)
     sk = golden.LWESecretKey(s=s_host, params=params)
     tv = np.stack(
@@ -216,6 +244,6 @@ def device_keygen(
         ap_kext=None,
         ksk=ksk_limbs,
         tv_table=jnp.asarray(tv, dtype=jnp.int32),
-        ginx_pallas=wins,
+        ginx_rev=rev,
     )
     return sk, z, dkeys

@@ -63,3 +63,36 @@ def eval_not_batch(cts, q: int):
     cts = jnp.asarray(cts)
     out = (q - cts) & (q - 1)
     return out.at[..., -1].set((out[..., -1] + q // 4) & (q - 1))
+
+
+def encrypt_bits_dev(s_dev, bits, key, params):
+    """DEVICE-side batched encryption with the jax PRNG (threefry):
+    bits [B] -> int32 [B, n+1] mod q.
+
+    The host path (encrypt_bits) stays the golden anchor; this exists so
+    production TPU runs never upload ciphertext arrays through the relay
+    (~1 MB/s) — only the plaintext bits and a PRNG key cross the wire.
+    Distributions match encrypt_bits (uniform a, rounded-Gaussian e, q/4
+    encoding); values differ (different RNG), which decryption-based tests
+    absorb.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    p = params
+    B = bits.shape[0]
+    k1, k2 = jax.random.split(key)
+    a = jax.random.randint(k1, (B, p.n), 0, p.q, jnp.int32)
+    e = jnp.rint(p.sigma * jax.random.normal(k2, (B,), jnp.float32)).astype(
+        jnp.int32
+    )
+    b = (jnp.einsum("bi,i->b", a, s_dev) + e + bits * (p.q // 4)) % p.q
+    return jnp.concatenate([a, b[:, None]], axis=1)
+
+
+def decrypt_bits_dev(s_dev, cts, q: int):
+    """Device-side decrypt to bits: cts int32 [..., n+1] -> [...] int32."""
+    import jax.numpy as jnp
+
+    phase = (cts[..., -1] - jnp.einsum("...i,i->...", cts[..., :-1], s_dev)) % q
+    return (((phase + q // 8) // (q // 4)) % 4) & 1

@@ -885,6 +885,173 @@ def fused_step_pallas(
 
 
 # ---------------------------------------------------------------------------
+# Round-3 production pipeline: PREBUILT true-layout diagonals.
+#
+# The per-step dense build (251 us/step of VPU barrels) is key material, not
+# per-step data: fhe/devkeygen.py materializes all n reversed-diagonal dense
+# blocks ONCE at keygen (rev_all int8 [n, (2*nt-1)*R*128, M*128], ~8 GB at
+# STD128_OPT — streamed from HBM at ~19 us/step), in TRUE column order (the
+# permuted-lane machinery existed only because Mosaic could not build int8
+# tiles in true order in-kernel; XLA building them at keygen can).  The step
+# then reduces to:  decompose (jnp) -> ONE [TB, nt*R*128] x [span, M*128]
+# MXU dot per output tile with the limb combine fused -> an in-VMEM CMUX
+# epilogue (rotations were 394 us/step as HBM-bound jnp rolls; in VMEM they
+# are VPU-bound).  Real-hardware phase numbers: ROOFLINE.md §2.
+# ---------------------------------------------------------------------------
+
+
+def _window_matmul_true_kernel(digs_ref, rev_ref, out_ref, *, nt, RT, M, TB, Q):
+    """Grid (b_chunks, nt): one [TB, nt*RT] x [nt*RT, M*TILE] int8 MXU dot
+    per output N-tile (rev VMEM-resident), limb combine fused; TRUE column
+    order throughout (prebuilt rev, no plane permutation)."""
+    k = pl.program_id(1)
+    win = rev_ref[pl.ds((nt - 1 - k) * RT, nt * RT), :]
+    res = jax.lax.dot_general(
+        digs_ref[...],
+        win,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [TB, M*TILE]
+    out_ref[...] = _combine_limbs_tile(res.reshape(TB, M // 4, 4, TILE), Q)
+
+
+def window_matmul_true(
+    digs_rows, rev_flat, R: int, Q: int, block_b: int = 1024,
+    interpret: bool = False,
+):
+    """digs_rows int8 [B, nt*R*TILE] (pack_digits_rows layout);
+    rev_flat int8 [(2*nt-1)*R*TILE, M*TILE] prebuilt TRUE-layout reversed
+    diagonals -> int32 [B, M//4, N] limb-combined mod Q, true columns."""
+    B, K = digs_rows.shape
+    RT = R * TILE
+    nt = K // RT
+    N = nt * TILE
+    MT = rev_flat.shape[1]
+    M = MT // TILE
+    TB = min(block_b, B)
+    while B % TB:
+        TB -= 1 if TB % 2 else TB // 2
+    resident = rev_flat.shape[0] * MT  # rev int8
+    per_chunk = 2 * TB * K + 4 * TB * MT + 2 * 4 * TB * (M // 4) * TILE
+    assert resident + per_chunk <= VMEM_PARAMS.vmem_limit_bytes, (
+        f"window_matmul_true VMEM estimate {(resident + per_chunk) >> 20} MiB "
+        f"exceeds budget; reduce block_b (got {TB})"
+    )
+    kernel = functools.partial(
+        _window_matmul_true_kernel, nt=nt, RT=RT, M=M, TB=TB, Q=Q
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B // TB, nt),
+        in_specs=[
+            pl.BlockSpec((TB, K), lambda c, k: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (rev_flat.shape[0], MT), lambda c, k: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (TB, M // 4, TILE), lambda c, k: (c, 0, k), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, M // 4, N), jnp.int32),
+        interpret=interpret,
+        compiler_params=None if interpret else VMEM_PARAMS,
+    )(digs_rows, rev_flat)
+
+
+def _cmux_epilogue_true_kernel(P_ref, acc_ref, amt_ref, out_ref, *, N, Q, TB):
+    """In-VMEM per-gate monomial rotations + CMUX add, TRUE layout:
+    out = red31(acc + X^amt0*P0 + X^amt1*P1 + 2Q - P0 - P1).
+
+    Half-barrel (cyclic roll over N + negacyclic sign fix — same math as
+    boot.monomial_rotate, bit-exact).  Batch sub-chunks bound the barrel's
+    live temporaries (Mosaic register pressure).
+
+    P_ref   : [TB, 2(part), 2(out), N] int32 in [0, Q)
+    acc_ref : [TB, 2, N] int32
+    amt_ref : [TB, 2, TILE] int32 lane-replicated (c_pos, a_col) in [0, 2N)
+    """
+    EB = min(TB, 64)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (EB, 2, 2, N), 3)
+
+    def body(i, carry):
+        s0 = i * EB
+        P = P_ref[pl.ds(s0, EB)]  # [EB, 2, 2, N]
+        amt = jnp.concatenate(
+            [amt_ref[pl.ds(s0, EB)]] * (N // TILE), axis=-1
+        )  # [EB, 2, N]
+        c = amt[:, :, None, :]  # [EB, 2, 1, N] broadcast over out axis
+        cp = c & (N - 1)
+        x = P
+        for b in range(int(np.log2(N))):
+            sh = 1 << b
+            rolled = pltpu.roll(x, sh, 3)
+            x = jnp.where((cp & sh) != 0, rolled, x)
+        wrap = (lane < cp) ^ (c >= N)
+        rot = jnp.where(wrap, jnp.where(x == 0, 0, Q - x), x)
+        y = (
+            acc_ref[pl.ds(s0, EB)]
+            + rot[:, 0]
+            + rot[:, 1]
+            + (2 * Q - P[:, 0] - P[:, 1])
+        )
+        out_ref[pl.ds(s0, EB)] = modmath.red31(y, Q)
+        return carry
+
+    jax.lax.fori_loop(0, TB // EB, body, 0)
+
+
+def cmux_epilogue_true(
+    P, acc, amt, Q: int, block_b: int = 1024, interpret: bool = False
+):
+    """P int32 [B, 2, 2, N] mod Q; acc [B, 2, N]; amt [B, 2] in [0, 2N)
+    -> int32 [B, 2, N] = red31(acc + rot(P0,amt0) + rot(P1,amt1) + 2Q-P0-P1).
+    Bit-exact vs the jnp path (boot.monomial_rotate + red31)."""
+    B, _, _, N = P.shape
+    TB = min(block_b, B)
+    while B % TB:
+        TB -= 1 if TB % 2 else TB // 2
+    amt_lane = jnp.broadcast_to(amt[:, :, None], (B, 2, TILE))
+    kernel = functools.partial(_cmux_epilogue_true_kernel, N=N, Q=Q, TB=TB)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, 2, 2, N), lambda c: (c, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 2, N), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 2, TILE), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TB, 2, N), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 2, N), jnp.int32),
+        interpret=interpret,
+        compiler_params=None if interpret else VMEM_PARAMS,
+    )(P, acc, amt_lane)
+
+
+def build_rev_true_host(perm_ext: np.ndarray, R: int, N: int) -> np.ndarray:
+    """Host/NumPy reference of devkeygen's prebuilt TRUE-layout reversed
+    diagonals: perm_ext int8 [RM, 2N] (r-major, m=(part,out,limb) minor)
+    -> rev int8 [(2*nt-1)*R*TILE, M*TILE].
+
+    rev[d'*RT + r*TILE + u, m*TILE + t] = perm_ext[r*M + m,
+        ((nt-1-d')*TILE + t - u) mod 2N].
+    """
+    RM, two_n = perm_ext.shape
+    M = RM // R
+    nt = N // TILE
+    ndiag = 2 * nt - 1
+    dp = np.arange(ndiag)[:, None, None]
+    u = np.arange(TILE)[None, :, None]
+    t = np.arange(TILE)[None, None, :]
+    idx = ((nt - 1 - dp) * TILE + t - u) % two_n  # [ndiag, T, T]
+    g = perm_ext[:, idx]  # [RM, ndiag, T, T]
+    g = g.reshape(R, M, ndiag, TILE, TILE)
+    return np.ascontiguousarray(
+        g.transpose(2, 0, 3, 1, 4).reshape(ndiag * R * TILE, M * TILE)
+    )
+
+
+# ---------------------------------------------------------------------------
 # The rotation megakernel: ALL n CMUX steps in ONE pallas_call.
 #
 # Per-pallas-launch overhead inside lax.scan measured ~4 ms on the target

@@ -60,6 +60,9 @@ _PLAIN_FN = {
 }
 
 
+_N_OPS = max(int(o) for o in Op) + 1  # device bad-gate accumulator size
+
+
 def _round_up_pow2(x: int, lo: int = 32) -> int:
     """Padded batch size: grows as 32*2^k (bounded compile-shape count) and
     is always a multiple of lcm(32, lo) so a dp mesh of ANY size — 6, 24, …
@@ -160,6 +163,28 @@ class Circuit:
         self.exec_time = 0.0
         self._done = False
 
+    def _on_accel(self) -> bool:
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+
+    def _s_dev(self):
+        """Device copy of the LWE secret (2 KB, uploaded once)."""
+        if getattr(self, "_s_dev_arr", None) is None:
+            import jax.numpy as jnp
+
+            self._s_dev_arr = jnp.asarray(np.asarray(self.sk.s, dtype=np.int32))
+        return self._s_dev_arr
+
+    def _next_key(self):
+        """Fresh jax PRNG key for device-side encryption randomness."""
+        import jax
+
+        if getattr(self, "_jax_key", None) is None:
+            self._jax_key = jax.random.PRNGKey(int(self._rng.integers(0, 2**31)))
+        self._jax_key, sub = jax.random.split(self._jax_key)
+        return sub
+
     def _use_device_keygen(self, mesh) -> bool:
         """Device keygen serves the TPU GINX Pallas path; host/golden keygen
         remains for CPU runs, AP, and tp-sharded jnp layouts."""
@@ -216,19 +241,11 @@ class Circuit:
     def _gate_batch(self, gids, c1, c2):
         if self._sharded_gate_fn is not None:
             return self._sharded_gate_fn(gids, c1, c2)
-        # Keys are captured by CLOSURE: passing the multi-hundred-MB key
-        # pytree as a per-call argument costs ~15 s/call through the axon
-        # tunnel (it re-processes argument buffers every call), while
-        # closure-captured buffers bind once.  Rebuilt only if keys change.
-        if getattr(self, "_gate_fn_keys", None) is not self.dkeys:
-            import jax
-
-            dk = self.dkeys
-            self._gate_fn = jax.jit(
-                lambda g, a, b: boot.eval_bin_gate_batch(dk, g, a, b)
-            )
-            self._gate_fn_keys = dk
-        return self._gate_fn(gids, c1, c2)
+        # Keys pass as jit arguments.  Through the axon tunnel this is only
+        # cheap (~5 ms/call) because the keys are DEVICE-GENERATED
+        # (devkeygen): host-uploaded arg buffers are re-processed per call
+        # and closure-captured arrays blow the remote-compile request size.
+        return _jit_gate_batch(self.dkeys, gids, c1, c2)
 
     # -- mode setters (circuit.cpp:819-842 parity) --------------------------
     def setPlaintext(self, flag: bool) -> None:
@@ -260,6 +277,7 @@ class Circuit:
         self._state_ct = None  # jnp [n_dff, T, n+1]
         self.trace: Optional[Trace] = None
         self._bootstraps_run = 0
+        self._bad_dev = None  # device per-op bad-gate accumulator (verify)
 
     # -- SetInput (circuit.cpp:455-530 parity) ------------------------------
     def SetInput(self, inputs: Sequence[np.ndarray], verbose: bool = False) -> None:
@@ -288,15 +306,37 @@ class Circuit:
 
             assert self.sk is not None, "no keys"
             p = self.params
-            arena = np.zeros((n_slots, T, p.n + 1), dtype=np.int32)
-            for wd, wires in zip(words, nl.inputs):
-                cts = lwe.encrypt_bits(self.sk, wd.reshape(-1), self._rng)
-                arena[wires] = cts.reshape(T, len(wires), p.n + 1).transpose(1, 0, 2)
-            if nl.n_dff and self._state_ct is not None:
-                arena[nl.dff_q] = np.asarray(self._state_ct)
-            # else: zero ciphertexts are valid noiseless encryptions of 0,
-            # the correct initial flip-flop state.
-            self._ct_arena = jnp.asarray(arena)
+            if self._on_accel():
+                # DEVICE-side arena + encryption: the relay moves ~1 MB/s,
+                # so neither the [n_wires, T, n+1] arena nor the input
+                # ciphertexts may cross it — only the plaintext bits do.
+                import jax
+
+                arena = jnp.zeros((n_slots, T, p.n + 1), jnp.int32)
+                for wd, wires in zip(words, nl.inputs):
+                    cts = lwe.encrypt_bits_dev(
+                        self._s_dev(),
+                        jnp.asarray(wd.reshape(-1), jnp.int32),
+                        self._next_key(),
+                        p,
+                    )
+                    cts = jnp.transpose(
+                        cts.reshape(T, len(wires), p.n + 1), (1, 0, 2)
+                    )
+                    arena = arena.at[jnp.asarray(wires)].set(cts)
+                if nl.n_dff and self._state_ct is not None:
+                    arena = arena.at[jnp.asarray(nl.dff_q)].set(self._state_ct)
+                self._ct_arena = arena
+            else:
+                arena = np.zeros((n_slots, T, p.n + 1), dtype=np.int32)
+                for wd, wires in zip(words, nl.inputs):
+                    cts = lwe.encrypt_bits(self.sk, wd.reshape(-1), self._rng)
+                    arena[wires] = cts.reshape(T, len(wires), p.n + 1).transpose(1, 0, 2)
+                if nl.n_dff and self._state_ct is not None:
+                    arena[nl.dff_q] = np.asarray(self._state_ct)
+                # else: zero ciphertexts are valid noiseless encryptions of 0,
+                # the correct initial flip-flop state.
+                self._ct_arena = jnp.asarray(arena)
 
     # -- the engine ---------------------------------------------------------
     def Clock(
@@ -371,6 +411,7 @@ class Circuit:
 
             if _os.path.exists(checkpoint_path):
                 _os.remove(checkpoint_path)
+        self._flush_bad_dev()
         self._collect_outputs()
         nl = self.netlist
         if nl.n_dff:  # latch D -> state; circuit stays clockable (sequential)
@@ -502,14 +543,37 @@ class Circuit:
             )
 
     def _verify_fix(self, ops, outw, out):
-        """Per-level decrypt-compare-fix (gate.cpp:153-160 parity)."""
+        """Per-level decrypt-compare-fix (gate.cpp:153-160 parity).
+
+        On the TPU the whole check runs ON DEVICE (decrypt, compare,
+        re-encrypt repairs) with per-op bad counts accumulated in a device
+        vector and fetched once at Clock() end — fetching every level's
+        ciphertexts through the ~1 MB/s relay would dominate the run.  The
+        reference's per-gate "Bad X fixing" lines consequently print at the
+        end of the evaluation in this mode (CPU backend keeps the per-level
+        prints)."""
         import jax.numpy as jnp
 
         T = self._batch
         W = len(ops)
+        want_np = self._plain_arena[:, outw].T.astype(np.int32)  # [W, T]
+        if self._on_accel():
+            p = self.params
+            want = jnp.asarray(want_np)
+            got = lwe.decrypt_bits_dev(self._s_dev(), out, p.q)  # [W, T]
+            bad = got != want
+            fixed = lwe.encrypt_bits_dev(
+                self._s_dev(), want.reshape(-1), self._next_key(), p
+            ).reshape(W, T, -1)
+            out = jnp.where(bad[:, :, None], fixed, out)
+            if self._bad_dev is None:
+                self._bad_dev = jnp.zeros((_N_OPS,), jnp.int32)
+            self._bad_dev = self._bad_dev.at[
+                jnp.asarray(ops.astype(np.int32))
+            ].add(bad.sum(axis=1).astype(jnp.int32))
+            return out
         got = lwe.decrypt_bits(self.sk, np.asarray(out).reshape(W * T, -1)).reshape(W, T)
-        want = self._plain_arena[:, outw].T.astype(np.int32)  # [W, T]
-        bad = got != want
+        bad = got != want_np
         if np.any(bad):
             nbad = int(bad.sum())
             for o in np.unique(ops):
@@ -517,11 +581,24 @@ class Circuit:
                 cnt = int(bad[ops == o].sum()) if ops.ndim else nbad
                 self.bad_gate_counts[name] = self.bad_gate_counts.get(name, 0) + cnt
                 print(f"Bad {name} fixing")
-            fixed = lwe.encrypt_bits(self.sk, want.reshape(-1), self._rng).reshape(
+            fixed = lwe.encrypt_bits(self.sk, want_np.reshape(-1), self._rng).reshape(
                 W, T, -1
             )
             out = jnp.where(jnp.asarray(bad)[:, :, None], jnp.asarray(fixed), out)
         return out
+
+    def _flush_bad_dev(self) -> None:
+        """Fetch the device bad-gate accumulator (one tiny transfer)."""
+        if getattr(self, "_bad_dev", None) is None:
+            return
+        counts = np.asarray(self._bad_dev)
+        self._bad_dev = None
+        for o in np.nonzero(counts)[0]:
+            name = Op(int(o)).name
+            self.bad_gate_counts[name] = self.bad_gate_counts.get(name, 0) + int(
+                counts[o]
+            )
+            print(f"Bad {name} fixing (x{int(counts[o])})")
 
     def _run_level_linear(self, level: dict) -> None:
         ops, in0, outw = level["lin_op"], level["lin_in0"], level["lin_out"]
@@ -568,9 +645,15 @@ class Circuit:
                     vals = arena[idx_in]
                 else:
                     bit = 1 if o == int(Op.EQ1) else 0
-                    z = np.zeros((len(idx_in), self._batch, self.params.n + 1), np.int32)
-                    z[..., -1] = bit * (q // 4)
-                    vals = jnp.asarray(z)
+                    # built on device (no host->device arena traffic)
+                    vals = (
+                        jnp.zeros(
+                            (len(idx_in), self._batch, self.params.n + 1),
+                            jnp.int32,
+                        )
+                        .at[..., -1]
+                        .set(bit * (q // 4))
+                    )
                 arena = arena.at[idx_out].set(vals)
                 k = j
             self._ct_arena = arena
@@ -581,10 +664,19 @@ class Circuit:
         outs = []
         if self.encrypted_flag:
             for wires in nl.outputs:
-                cts = np.asarray(self._ct_arena[wires])  # [bits, T, n+1]
-                bits = lwe.decrypt_bits(
-                    self.sk, cts.reshape(-1, cts.shape[-1])
-                ).reshape(len(wires), self._batch)
+                if self._on_accel():
+                    # decrypt ON DEVICE, fetch only the bits (KBs, not the
+                    # [bits, T, n+1] ciphertexts through the ~1 MB/s relay)
+                    bits = np.asarray(
+                        lwe.decrypt_bits_dev(
+                            self._s_dev(), self._ct_arena[wires], self.params.q
+                        )
+                    ).astype(np.int32)
+                else:
+                    cts = np.asarray(self._ct_arena[wires])  # [bits, T, n+1]
+                    bits = lwe.decrypt_bits(
+                        self.sk, cts.reshape(-1, cts.shape[-1])
+                    ).reshape(len(wires), self._batch)
                 outs.append(bits.T)  # [T, bits]
                 if self.verify_flag:
                     want = self._plain_arena[:, wires]
@@ -636,3 +728,14 @@ class Circuit:
             print(f"  bad gates fixed: {self.bad_gate_counts}")
 
 
+
+
+@functools.lru_cache(maxsize=1)
+def _gate_batch_jit():
+    import jax
+
+    return jax.jit(boot.eval_bin_gate_batch)
+
+
+def _jit_gate_batch(dkeys, gids, c1, c2):
+    return _gate_batch_jit()(dkeys, gids, c1, c2)

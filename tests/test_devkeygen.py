@@ -93,6 +93,57 @@ def test_device_keys_deterministic():
     sk1, _, dk1 = devkeygen.device_keygen(MICRO, seed=11)
     sk2, _, dk2 = devkeygen.device_keygen(MICRO, seed=11)
     np.testing.assert_array_equal(sk1.s, sk2.s)
-    np.testing.assert_array_equal(np.asarray(dk1.ginx_pallas), np.asarray(dk2.ginx_pallas))
+    assert dk1.ginx_rev is not None
+    np.testing.assert_array_equal(np.asarray(dk1.ginx_rev), np.asarray(dk2.ginx_rev))
     sk3, _, _ = devkeygen.device_keygen(MICRO, seed=12)
     assert not np.array_equal(sk1.s, sk3.s)
+
+
+def test_build_rev_true_dev_matches_host():
+    rng = np.random.default_rng(9)
+    N, R, M = 128, 4, 8
+    perm = rng.integers(-128, 128, (3, R * M, 2 * N), dtype=np.int64).astype(np.int8)
+    want = np.stack([pk.build_rev_true_host(p_, R, N) for p_ in perm])
+    got = np.asarray(devkeygen._build_rev_true(jnp.asarray(perm), R, N))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_prebuilt_step_bitexact_vs_jnp(monkeypatch):
+    """window_matmul_true + cmux_epilogue_true == _external_cmux_ginx given
+    the same RGSW key material (MICRO, interpret mode)."""
+    monkeypatch.setattr(boot, "PALLAS_INTERPRET", True)
+    p = MICRO
+    rng = np.random.default_rng(10)
+    sk = golden.lwe_keygen(p, rng)
+    bk = golden.bootstrap_keygen(p, sk, rng, BinFHEMethod.GINX)
+    # jnp gather layout for the reference path
+    dk_jnp = boot.pack_bootstrap_key(bk, use_pallas=False)
+    # prebuilt rev from the same brk material
+    Q, N = p.Q, p.N
+    brk = np.stack([bk.brk_pos, bk.brk_neg], axis=1)  # [n, parts, rows, out, N]
+    kext_np = boot._poly_ext_limbs(brk, Q)
+    n = kext_np.shape[0]
+    R = kext_np.shape[2]
+    perm = np.transpose(kext_np, (0, 2, 1, 3, 4, 5)).reshape(n, -1, 2 * p.N)
+    rev = jnp.asarray(np.stack([pk.build_rev_true_host(perm[i], R, N) for i in range(n)]))
+
+    B = 8
+    acc = rng.integers(0, Q, (B, 2, N)).astype(np.int32)
+    a_col = rng.integers(0, 2 * N, (B,)).astype(np.int32)
+    i = np.arange(N, dtype=np.int32)
+    idx2n = jnp.asarray((i[None, :] - i[:, None]) & (2 * N - 1))
+    for step in (0, 3):
+        want = np.asarray(
+            boot._external_cmux_ginx(
+                jnp.asarray(acc), jnp.asarray(a_col), dk_jnp.ginx_kext[step],
+                idx2n, p,
+            )
+        )
+        got = np.asarray(
+            boot._external_cmux_prebuilt(
+                jnp.asarray(acc), jnp.asarray(a_col), rev[step], p,
+                interpret=True,
+            )
+        )
+        np.testing.assert_array_equal(got, want)
+        acc = got  # chain

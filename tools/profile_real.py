@@ -169,6 +169,67 @@ def scan_rotations():
     return fn
 
 
+def scan_prebuilt_full():
+    """The round-3 production step: prebuilt rev + window matmul + in-VMEM
+    epilogue (boot._external_cmux_prebuilt)."""
+    MT = 16 * pk.TILE
+    rev = (
+        jax.random.randint(k4, (NSTEPS, ndiag * R * pk.TILE, MT), -128, 128)
+        .astype(jnp.int8)
+    )
+
+    def body(carry, xs):
+        a_col, rev_i = xs
+        return boot._external_cmux_prebuilt(carry, a_col, rev_i, p), None
+
+    @jax.jit
+    def fn(acc):
+        out, _ = jax.lax.scan(body, acc, (a2N.T[:NSTEPS], rev))
+        return out
+
+    return fn
+
+
+def scan_prebuilt_matmul():
+    """decompose + pack + window_matmul_true (no epilogue)."""
+    MT = 16 * pk.TILE
+    rev = (
+        jax.random.randint(k4, (NSTEPS, ndiag * R * pk.TILE, MT), -128, 128)
+        .astype(jnp.int8)
+    )
+
+    def body(carry, rev_i):
+        digs = boot._digits_rbn(carry, p)
+        dr = pk.pack_digits_rows(digs)
+        P4 = pk.window_matmul_true(dr, rev_i, R, Q, block_b=boot.FUSED_MAX_B)
+        Pr = P4.reshape(B, 2, 2, N)
+        return modmath.red31(carry + Pr[:, 0] + Pr[:, 1], Q), None
+
+    @jax.jit
+    def fn(acc):
+        out, _ = jax.lax.scan(body, acc, rev)
+        return out
+
+    return fn
+
+
+def scan_epilogue_true():
+    """cmux_epilogue_true kernel only."""
+
+    def body(carry, a_col):
+        P = jnp.stack([carry, carry], axis=1)  # [B, 2, 2, N]
+        c_pos = (2 * N - a_col) & (2 * N - 1)
+        amt = jnp.stack([c_pos, a_col], axis=1)
+        return pk.cmux_epilogue_true(P, carry, amt, Q, block_b=boot.FUSED_MAX_B), None
+
+    @jax.jit
+    def fn(acc):
+        out, _ = jax.lax.scan(body, acc, a2N.T[:NSTEPS])
+        return out
+
+    return fn
+
+
 def scan_noop():
     """Scan overhead floor: one elementwise op per step."""
 
@@ -184,10 +245,19 @@ def scan_noop():
 
 
 if __name__ == "__main__":
+    import os
+
     print(f"B={B} NSTEPS={NSTEPS} R={R} N={N} backend={jax.default_backend()}")
-    timeit("noop (scan floor)", scan_noop)
-    timeit("digits+pack", scan_digits)
-    timeit("build", scan_build)
-    timeit("digits+build+matmul", scan_matmul)
-    timeit("rotations+cmux", scan_rotations)
-    timeit("FULL split step", scan_full_split)
+    which = os.environ.get("OECE_PROFILE", "prebuilt")
+    if which in ("all", "legacy"):
+        timeit("noop (scan floor)", scan_noop)
+        timeit("digits+pack", scan_digits)
+        timeit("build", scan_build)
+        timeit("digits+build+matmul", scan_matmul)
+        timeit("rotations+cmux", scan_rotations)
+        timeit("FULL split step", scan_full_split)
+    if which in ("all", "prebuilt"):
+        timeit("noop (scan floor)", scan_noop)
+        timeit("prebuilt matmul", scan_prebuilt_matmul)
+        timeit("epilogue kernel", scan_epilogue_true)
+        timeit("PREBUILT full step", scan_prebuilt_full)
