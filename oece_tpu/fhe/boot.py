@@ -387,16 +387,18 @@ def _external_cmux_prebuilt(acc, a_col, rev_i, p: BinFHEParams, interpret=None):
         interpret = PALLAS_INTERPRET
     Q, N = p.Q, p.N
     B = acc.shape[0]
-    digs = _digits_rbn(acc, p)  # [R, B, N]
-    dr = pk.pack_digits_rows(digs)  # [B, nt*R*128]
-    P4 = pk.window_matmul_true(
-        dr, rev_i, 2 * p.d_g_used, Q, block_b=FUSED_MAX_B, interpret=interpret
+    P4 = pk.window_matmul_dec_true(
+        acc, rev_i, 2 * p.d_g_used, Q, p.B_g, p.d_g_used, p.g_shift,
+        block_b=FUSED_MAX_B, interpret=interpret,
     )  # [B, 4, N] mod Q, (part, out) planes
     c_pos = (2 * N - a_col) & (2 * N - 1)
     amt = jnp.stack([c_pos, a_col], axis=1)  # [B, 2]
+    # rotation amounts are multiples of 2N/q (the q->2N mod switch):
+    # those low barrel rounds are statically dead.
+    zlb = max(0, int(np.log2(2 * N // p.q)))
     return pk.cmux_epilogue_true(
         P4.reshape(B, 2, 2, N), acc, amt, Q, block_b=FUSED_MAX_B,
-        interpret=interpret,
+        interpret=interpret, zero_low_bits=zlb,
     )
 
 

@@ -959,13 +959,101 @@ def window_matmul_true(
     )(digs_rows, rev_flat)
 
 
-def _cmux_epilogue_true_kernel(P_ref, acc_ref, amt_ref, out_ref, *, N, Q, TB):
+def _matmul_dec_true_kernel(
+    acc_ref, rev_ref, out_ref, digs_ref, *, nt, R, M, TB, Q, B_g, d_used,
+    g_shift,
+):
+    """Grid (B//TB,): gadget decompose + digit pack IN KERNEL (the jnp
+    transpose/pack glue cost ~400 us/step at B=1024 — measured), then one
+    window-span MXU dot per output tile with the limb combine fused.
+
+    acc_ref  : [TB, 2, N] int32 accumulator (true layout)
+    rev_ref  : [(2*nt-1)*R*TILE, M*TILE] int8 prebuilt diagonals (resident)
+    out_ref  : [TB, M//4, N] int32 combined mod Q
+    digs_ref : scratch [TB, nt*R*TILE] int8 (pack_digits_rows order)
+    """
+    RT = R * TILE
+    for pp in range(2):
+        col = acc_ref[:, pp, :]
+        planes = _decompose_lanes(col, Q, B_g, d_used, g_shift)
+        for dgt, plane in enumerate(planes):
+            rr = pp * d_used + dgt
+            for j in range(nt):
+                digs_ref[:, j * RT + rr * TILE : j * RT + (rr + 1) * TILE] = (
+                    plane[:, j * TILE : (j + 1) * TILE]
+                )
+    for k in range(nt):
+        res = jax.lax.dot_general(
+            digs_ref[...],
+            rev_ref[pl.ds((nt - 1 - k) * RT, nt * RT), :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        out_ref[:, :, pl.ds(k * TILE, TILE)] = _combine_limbs_tile(
+            res.reshape(TB, M // 4, 4, TILE), Q
+        )
+
+
+def window_matmul_dec_true(
+    acc, rev_flat, R: int, Q: int, B_g: int, d_used: int, g_shift: int,
+    block_b: int = 1024, interpret: bool = False,
+):
+    """acc int32 [B, 2, N] -> P4 int32 [B, M//4, N] mod Q: decompose +
+    pack + window matmul + limb combine in ONE kernel (true layout)."""
+    B, _, N = acc.shape
+    nt = N // TILE
+    RT = R * TILE
+    MT = rev_flat.shape[1]
+    M = MT // TILE
+    TB = min(block_b, B)
+    while B % TB:
+        TB -= 1 if TB % 2 else TB // 2
+    resident = rev_flat.shape[0] * MT
+    per_chunk = (
+        2 * 4 * TB * 2 * N  # acc in (double-buffered)
+        + TB * nt * RT  # digs scratch
+        + 4 * TB * MT  # dot result
+        + 2 * 4 * TB * (M // 4) * N  # out
+    )
+    assert resident + per_chunk <= VMEM_PARAMS.vmem_limit_bytes, (
+        f"window_matmul_dec_true VMEM estimate "
+        f"{(resident + per_chunk) >> 20} MiB exceeds budget (TB={TB})"
+    )
+    kernel = functools.partial(
+        _matmul_dec_true_kernel, nt=nt, R=R, M=M, TB=TB, Q=Q, B_g=B_g,
+        d_used=d_used, g_shift=g_shift,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, 2, N), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (rev_flat.shape[0], MT), lambda c: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (TB, M // 4, N), lambda c: (c, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, M // 4, N), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((TB, nt * RT), jnp.int8)],
+        interpret=interpret,
+        compiler_params=None if interpret else VMEM_PARAMS,
+    )(acc, rev_flat)
+
+
+def _cmux_epilogue_true_kernel(
+    P_ref, acc_ref, amt_ref, out_ref, *, N, Q, TB, b_lo
+):
     """In-VMEM per-gate monomial rotations + CMUX add, TRUE layout:
     out = red31(acc + X^amt0*P0 + X^amt1*P1 + 2Q - P0 - P1).
 
     Half-barrel (cyclic roll over N + negacyclic sign fix — same math as
     boot.monomial_rotate, bit-exact).  Batch sub-chunks bound the barrel's
-    live temporaries (Mosaic register pressure).
+    live temporaries (Mosaic register pressure).  ``b_lo`` barrel rounds
+    are skipped: rotation amounts come from the q -> 2N mod switch, so
+    their low log2(2N/q) bits are always zero.
 
     P_ref   : [TB, 2(part), 2(out), N] int32 in [0, Q)
     acc_ref : [TB, 2, N] int32
@@ -983,7 +1071,7 @@ def _cmux_epilogue_true_kernel(P_ref, acc_ref, amt_ref, out_ref, *, N, Q, TB):
         c = amt[:, :, None, :]  # [EB, 2, 1, N] broadcast over out axis
         cp = c & (N - 1)
         x = P
-        for b in range(int(np.log2(N))):
+        for b in range(b_lo, int(np.log2(N))):
             sh = 1 << b
             rolled = pltpu.roll(x, sh, 3)
             x = jnp.where((cp & sh) != 0, rolled, x)
@@ -1002,17 +1090,22 @@ def _cmux_epilogue_true_kernel(P_ref, acc_ref, amt_ref, out_ref, *, N, Q, TB):
 
 
 def cmux_epilogue_true(
-    P, acc, amt, Q: int, block_b: int = 1024, interpret: bool = False
+    P, acc, amt, Q: int, block_b: int = 1024, interpret: bool = False,
+    zero_low_bits: int = 0,
 ):
     """P int32 [B, 2, 2, N] mod Q; acc [B, 2, N]; amt [B, 2] in [0, 2N)
     -> int32 [B, 2, N] = red31(acc + rot(P0,amt0) + rot(P1,amt1) + 2Q-P0-P1).
-    Bit-exact vs the jnp path (boot.monomial_rotate + red31)."""
+    Bit-exact vs the jnp path (boot.monomial_rotate + red31).
+    ``zero_low_bits``: statically-known zero low bits of every amt entry
+    (= log2(2N/q) after the gate mod switch) — their barrel rounds skip."""
     B, _, _, N = P.shape
     TB = min(block_b, B)
     while B % TB:
         TB -= 1 if TB % 2 else TB // 2
     amt_lane = jnp.broadcast_to(amt[:, :, None], (B, 2, TILE))
-    kernel = functools.partial(_cmux_epilogue_true_kernel, N=N, Q=Q, TB=TB)
+    kernel = functools.partial(
+        _cmux_epilogue_true_kernel, N=N, Q=Q, TB=TB, b_lo=zero_low_bits
+    )
     return pl.pallas_call(
         kernel,
         grid=(B // TB,),

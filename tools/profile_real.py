@@ -61,14 +61,17 @@ idx_fetch = jnp.zeros((4,), jnp.int32)
 
 
 def timeit(label, make_scan, reps=3):
-    """make_scan() -> jitted fn acc -> acc; chained reps, fetch barrier."""
-    fn = make_scan()
-    acc = fn(acc0)
+    """make_scan() -> (jitted fn (acc, *ops) -> acc, ops); chained reps,
+    fetch barrier.  Operands pass as jit args: closure-captured device
+    arrays are embedded in the remote-compile request (HTTP 413)."""
+    made = make_scan()
+    fn, ops = made if isinstance(made, tuple) else (made, ())
+    acc = fn(acc0, *ops)
     _ = np.asarray(acc[0, 0, :4])  # compile + first run barrier
     t0 = time.time()
     a = acc
     for _ in range(reps):
-        a = fn(a)
+        a = fn(a, *ops)
     _ = np.asarray(a[0, 0, :4])
     dt = (time.time() - t0) / reps / NSTEPS
     print(
@@ -88,11 +91,11 @@ def scan_full_split():
         return boot._external_cmux_pallas(carry, a_col, kwin_i, p), None
 
     @jax.jit
-    def fn(acc):
-        out, _ = jax.lax.scan(body, acc, (a2N.T[:NSTEPS], wins))
+    def fn(acc, wins_, a_):
+        out, _ = jax.lax.scan(body, acc, (a_, wins_))
         return out
 
-    return fn
+    return fn, (wins, a2N.T[:NSTEPS])
 
 
 def scan_digits():
@@ -106,11 +109,11 @@ def scan_digits():
         return modmath.red31(carry + upd[:, None, :] + a_col[:, None, None], Q), None
 
     @jax.jit
-    def fn(acc):
-        out, _ = jax.lax.scan(body, acc, a2N.T[:NSTEPS])
+    def fn(acc, a_):
+        out, _ = jax.lax.scan(body, acc, a_)
         return out
 
-    return fn
+    return fn, (a2N.T[:NSTEPS],)
 
 
 def scan_build():
@@ -122,11 +125,11 @@ def scan_build():
         return modmath.red31(carry + upd[None, :, :], Q), None
 
     @jax.jit
-    def fn(acc):
-        out, _ = jax.lax.scan(body, acc, wins)
+    def fn(acc, wins_):
+        out, _ = jax.lax.scan(body, acc, wins_)
         return out
 
-    return fn
+    return fn, (wins,)
 
 
 def scan_matmul():
@@ -143,11 +146,11 @@ def scan_matmul():
         return modmath.red31(y, Q), None
 
     @jax.jit
-    def fn(acc):
-        out, _ = jax.lax.scan(body, acc, wins)
+    def fn(acc, wins_):
+        out, _ = jax.lax.scan(body, acc, wins_)
         return out
 
-    return fn
+    return fn, (wins,)
 
 
 def scan_rotations():
@@ -162,11 +165,11 @@ def scan_rotations():
         return modmath.red31(y, Q), None
 
     @jax.jit
-    def fn(acc):
-        out, _ = jax.lax.scan(body, acc, a2N.T[:NSTEPS])
+    def fn(acc, a_):
+        out, _ = jax.lax.scan(body, acc, a_)
         return out
 
-    return fn
+    return fn, (a2N.T[:NSTEPS],)
 
 
 def scan_prebuilt_full():
@@ -183,11 +186,11 @@ def scan_prebuilt_full():
         return boot._external_cmux_prebuilt(carry, a_col, rev_i, p), None
 
     @jax.jit
-    def fn(acc):
-        out, _ = jax.lax.scan(body, acc, (a2N.T[:NSTEPS], rev))
+    def fn(acc, rev_, a_):
+        out, _ = jax.lax.scan(body, acc, (a_, rev_))
         return out
 
-    return fn
+    return fn, (rev, a2N.T[:NSTEPS])
 
 
 def scan_prebuilt_matmul():
@@ -206,11 +209,11 @@ def scan_prebuilt_matmul():
         return modmath.red31(carry + Pr[:, 0] + Pr[:, 1], Q), None
 
     @jax.jit
-    def fn(acc):
-        out, _ = jax.lax.scan(body, acc, rev)
+    def fn(acc, rev_):
+        out, _ = jax.lax.scan(body, acc, rev_)
         return out
 
-    return fn
+    return fn, (rev,)
 
 
 def scan_epilogue_true():
@@ -223,11 +226,11 @@ def scan_epilogue_true():
         return pk.cmux_epilogue_true(P, carry, amt, Q, block_b=boot.FUSED_MAX_B), None
 
     @jax.jit
-    def fn(acc):
-        out, _ = jax.lax.scan(body, acc, a2N.T[:NSTEPS])
+    def fn(acc, a_):
+        out, _ = jax.lax.scan(body, acc, a_)
         return out
 
-    return fn
+    return fn, (a2N.T[:NSTEPS],)
 
 
 def scan_noop():
