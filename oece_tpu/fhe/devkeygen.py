@@ -23,6 +23,7 @@ products run as one int8 MXU matmul.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -169,13 +170,43 @@ def _build_rev_true(perm, R, N):
 # ---------------------------------------------------------------------------
 
 
+def _seed_words(seed) -> np.ndarray:
+    """Normalize a seed to 8 uint32 words (256 bits of PRF input).
+
+    ``None`` draws full OS entropy (os.urandom) — the PRODUCTION path.
+    Small int / word-array seeds are for tests and benchmarks only: a
+    32-bit seed makes the whole key space enumerable by seed search
+    (ADVICE r3 high), so deployments must pass ``seed=None``.
+    """
+    if seed is None:
+        return np.frombuffer(os.urandom(32), dtype=np.uint32).copy()
+    if isinstance(seed, (int, np.integer)):
+        w = np.zeros(8, dtype=np.uint32)
+        v = int(seed)
+        for i in range(8):
+            w[i] = v & 0xFFFFFFFF
+            v >>= 32
+            if not v:
+                break
+        return w
+    w = np.asarray(seed, dtype=np.uint32).reshape(-1)
+    assert w.size == 8, f"seed word array must have 8 uint32 words, got {w.size}"
+    return w
+
+
 @functools.partial(jax.jit, static_argnames=("params",))
-def _keygen_jit(params: BinFHEParams, seed):
+def _keygen_jit(params: BinFHEParams, seed_words):
     p = params
     n, N, Q, Qks = p.n, p.N, p.Q, p.Q_ks
     d = p.d_g_used
     shift = p.g_shift
-    root = jax.random.PRNGKey(seed)
+    # Security model: all key material (secrets, masks, noise) is derived
+    # from the 256-bit seed via the threefry PRF — the standard PRF key
+    # derivation assumption.  The seed itself must be full-entropy in
+    # production (see _seed_words / ADVICE r3).
+    root = jax.random.PRNGKey(0)
+    for i in range(8):
+        root = jax.random.fold_in(root, seed_words[i])
     k_s, k_z, k_ba, k_be, k_aa, k_ae, k_ka, k_ke = jax.random.split(root, 8)
 
     s = _ternary(k_s, (n,))
@@ -223,15 +254,19 @@ def _keygen_jit(params: BinFHEParams, seed):
 
 
 def device_keygen(
-    params: BinFHEParams, seed: int = 0
+    params: BinFHEParams, seed=None
 ) -> tuple[golden.LWESecretKey, jnp.ndarray, boot.DeviceBootKeys]:
     """Generate GINX bootstrap keys ON DEVICE from a seed.
+
+    ``seed=None`` (the production default) derives the key from 256 bits of
+    OS entropy; an int or uint32[8] array gives a deterministic key for
+    tests/benchmarks (NOT secure — 2**31 seeds are enumerable).
 
     Returns (sk_host, z_dev, DeviceBootKeys) — the LWE secret is downloaded
     (2 KB) so the host can encrypt/decrypt; everything else stays on device.
     """
     assert params.N % TILE == 0, "Pallas layout requires N % 128 == 0"
-    s, z, rev, ksk_limbs = _keygen_jit(params, seed)
+    s, z, rev, ksk_limbs = _keygen_jit(params, jnp.asarray(_seed_words(seed)))
     s_host = np.asarray(s).astype(np.int64)  # 2 KB fetch (barrier)
     sk = golden.LWESecretKey(s=s_host, params=params)
     tv = np.stack(

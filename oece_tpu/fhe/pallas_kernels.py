@@ -44,6 +44,7 @@ and the NumPy golden model (tests/test_pallas.py).
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -772,7 +773,7 @@ def _cmux_epilogue_perm_kernel(pacc_ref, acc_ref, amt_ref, out_ref, *, N, Q, TB)
     Processed in small batch sub-chunks, one RGSW part at a time, to bound
     the barrel's live temporaries (one big [TB,2,2,N] rotation spills the
     Mosaic register allocator by >100 MB at TB=512, N=1024 — measured)."""
-    EB = min(TB, 64)
+    EB = math.gcd(TB, 64)  # always divides TB: no silently-dropped tail rows
     lane = jax.lax.broadcasted_iota(jnp.int32, (EB, 2, N), 2)
     for s0 in range(0, TB, EB):
         P0 = pacc_ref[s0 : s0 + EB, 0:2, :]  # part 0: [EB, 2(out), N]
@@ -1059,7 +1060,7 @@ def _cmux_epilogue_true_kernel(
     acc_ref : [TB, 2, N] int32
     amt_ref : [TB, 2, TILE] int32 lane-replicated (c_pos, a_col) in [0, 2N)
     """
-    EB = min(TB, 64)
+    EB = math.gcd(TB, 64)  # always divides TB: no silently-dropped tail rows
     lane = jax.lax.broadcasted_iota(jnp.int32, (EB, 2, 2, N), 3)
 
     def body(i, carry):
@@ -1262,7 +1263,7 @@ def _rotation_megakernel(
     # epilogue: permuted-space rotations + CMUX add, in sub-chunks (one big
     # [TB,2,2,N] rotation spills the Mosaic register allocator — measured).
     # fori_loop: the chunk body compiles once (compile-time, VERDICT r2 #1).
-    EB = min(TB, 64)
+    EB = math.gcd(TB, 64)  # always divides TB: no silently-dropped tail rows
     lane = jax.lax.broadcasted_iota(jnp.int32, (EB, 2, N), 2)
 
     def epi_body(i, carry):

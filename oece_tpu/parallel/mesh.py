@@ -46,15 +46,31 @@ def make_mesh(n_devices: Optional[int] = None, tp: int = 1) -> Mesh:
 def shard_bootstrap_keys(keys: boot.DeviceBootKeys, mesh: Mesh) -> boot.DeviceBootKeys:
     """Place keys on the mesh.
 
+    Prebuilt layout (ginx_rev, the production TPU path / device keygen
+    output): keys fully replicated — dp-only parallelism; each device runs
+    the fused prebuilt-diagonal kernels on its batch shard (VERDICT r3 #2:
+    this layout used to be silently dropped here, crashing Circuit(mesh=...)
+    after device keygen).
     jnp layout (ginx_kext): RGSW rows / key-switch contraction sharded over
     ``tp``, replicated over ``dp``.
-    Pallas layout (ginx_pallas): keys fully replicated (dp-only parallelism;
-    the fused kernel owns the whole contraction on each device).
+    Pallas window layout (ginx_pallas): keys fully replicated (dp-only).
     """
     assert keys.method == BinFHEMethod.GINX, "tp sharding targets GINX"
     from jax.sharding import NamedSharding
 
     tv = jax.device_put(keys.tv_table, NamedSharding(mesh, P()))
+    if keys.ginx_rev is not None:
+        assert int(mesh.shape.get("tp", 1)) == 1, (
+            "the prebuilt ginx_rev layout shards dp-only; build the mesh "
+            "with tp=1 or pack keys with use_pallas=False (jnp layout) for "
+            "tensor parallelism"
+        )
+        rev = jax.device_put(keys.ginx_rev, NamedSharding(mesh, P()))
+        ksk = jax.device_put(keys.ksk, NamedSharding(mesh, P()))
+        return boot.DeviceBootKeys(
+            params=keys.params, method=keys.method, ginx_kext=None,
+            ap_kext=None, ksk=ksk, tv_table=tv, ginx_rev=rev,
+        )
     if keys.ginx_pallas is not None:
         gp = jax.device_put(keys.ginx_pallas, NamedSharding(mesh, P()))
         ksk = jax.device_put(keys.ksk, NamedSharding(mesh, P()))
@@ -86,6 +102,37 @@ def make_sharded_gate_fn(keys: boot.DeviceBootKeys, mesh: Mesh):
     p = keys.params
     method = keys.method
     tp = mesh.shape["tp"]
+
+    if keys.ginx_rev is not None:
+        assert tp == 1, (
+            "the prebuilt ginx_rev layout shards dp-only; build the mesh "
+            "with tp=1 or pack keys with use_pallas=False for tensor "
+            "parallelism"
+        )
+
+        def local_fn_rev(rev, ksk, tv, gids, c1, c2):
+            lkeys = boot.DeviceBootKeys(
+                params=p, method=method, ginx_kext=None, ap_kext=None,
+                ksk=ksk, tv_table=tv, ginx_rev=rev,
+            )
+            return boot.eval_bin_gate_batch(lkeys, gids, c1, c2)
+
+        smapped_rev = shard_map(
+            local_fn_rev,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P("dp"), P("dp", None), P("dp", None)),
+            out_specs=P("dp", None),
+            # pallas_call's out_shape carries no varying-mesh-axes info
+            check_vma=False,
+        )
+
+        @jax.jit
+        def fn_rev(gids, c1, c2):
+            return smapped_rev(
+                keys.ginx_rev, keys.ksk, keys.tv_table, gids, c1, c2
+            )
+
+        return fn_rev
 
     if keys.ginx_pallas is not None:
         assert tp == 1, (

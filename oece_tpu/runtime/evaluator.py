@@ -112,6 +112,7 @@ class Circuit:
         enable_compilation_cache()
 
         self._rng = np.random.default_rng(seed)
+        self._seed_explicit = seed is not None
         self.sk: Optional[golden.LWESecretKey] = None
         self.bk: Optional[golden.BootstrapKey] = None
         self.dkeys: Optional[boot.DeviceBootKeys] = None
@@ -126,10 +127,19 @@ class Circuit:
             t0 = time.time()
             if self._use_device_keygen(mesh):
                 # TPU path: keys generated on device from a seed — no
-                # multi-hundred-MB host->device key upload (fhe/devkeygen.py)
+                # multi-hundred-MB host->device key upload (fhe/devkeygen.py).
+                # With no explicit seed the key derives from 256 bits of OS
+                # entropy (devkeygen._seed_words); an explicit Circuit(seed=k)
+                # stays deterministic for tests/benchmarks.
                 from ..fhe import devkeygen
 
-                kg_seed = int(self._rng.integers(0, 2**31))
+                kg_seed = (
+                    np.asarray(
+                        self._rng.integers(0, 2**32, size=8), dtype=np.uint32
+                    )
+                    if self._seed_explicit
+                    else None
+                )
                 self.sk, _z, self.dkeys = devkeygen.device_keygen(
                     self.params, seed=kg_seed
                 )
@@ -177,11 +187,23 @@ class Circuit:
         return self._s_dev_arr
 
     def _next_key(self):
-        """Fresh jax PRNG key for device-side encryption randomness."""
+        """Fresh jax PRNG key for device-side encryption randomness.
+
+        Seeded from OS entropy unless the user pinned Circuit(seed=...)
+        (same security rule as devkeygen._seed_words)."""
         import jax
 
         if getattr(self, "_jax_key", None) is None:
-            self._jax_key = jax.random.PRNGKey(int(self._rng.integers(0, 2**31)))
+            if self._seed_explicit:
+                root = jax.random.PRNGKey(int(self._rng.integers(0, 2**31)))
+            else:
+                import os as _os
+
+                words = np.frombuffer(_os.urandom(32), dtype=np.uint32)
+                root = jax.random.PRNGKey(0)
+                for w in words:
+                    root = jax.random.fold_in(root, int(w))
+            self._jax_key = root
         self._jax_key, sub = jax.random.split(self._jax_key)
         return sub
 
@@ -196,6 +218,10 @@ class Circuit:
             return False
         if mesh is not None and mesh.shape.get("tp", 1) > 1:
             return False
+        if _os.environ.get("OECE_FORCE_DEVICE_KEYGEN") == "1":
+            # tests/dryruns: exercise the production device-keygen path on
+            # the CPU mesh (pair with boot.PALLAS_INTERPRET)
+            return True
         import jax
 
         return jax.default_backend() not in ("cpu",)
@@ -455,6 +481,24 @@ class Circuit:
         if self.encrypted_flag:
             self._run_level_boot_encrypted(ops, in0, in1, outw)
 
+    def _use_level_jit(self) -> bool:
+        """One fused jitted device program per level chunk (gather ->
+        bootstrap -> verify-fix -> scatter), with index arrays padded to a
+        bounded set of bucket shapes.
+
+        This is the TPU production path: the eager per-level glue below has
+        per-level-unique array shapes, and through the axon tunnel each
+        unique shape is a fresh XLA compile — a 5,000-level circuit would
+        spend hours compiling trivial gathers.  The fused path compiles
+        O(log max_width) programs total and dispatches ONCE per level chunk.
+        """
+        import os as _os
+
+        v = _os.environ.get("OECE_LEVEL_JIT")
+        if v is not None:
+            return v == "1"
+        return self._on_accel() and self._sharded_gate_fn is None
+
     def _run_level_boot_encrypted(self, ops, in0, in1, outw) -> None:
         import jax.numpy as jnp
 
@@ -473,6 +517,9 @@ class Circuit:
         gate_ids = np.array(
             [boot.GATE_INDEX[_OP_TO_GATE[Op(int(o))]] for o in ops], dtype=np.int32
         )
+        if self._use_level_jit():
+            self._run_level_boot_fused(ops, gate_ids, in0, in1, outw)
+            return
         B = W * T
         Bpad = _round_up_pow2(B, lo=self._dp())
         arena = self._ct_arena
@@ -491,6 +538,68 @@ class Circuit:
         if self.verify_flag:
             out = self._verify_fix(ops, outw, out)
         self._ct_arena = arena.at[outw].set(out)
+
+    def _run_level_boot_fused(self, ops, gate_ids, in0, in1, outw) -> None:
+        """TPU path: evaluate a level's bootstrap gates as ONE fused jitted
+        program per chunk — gather operands from the arena, bootstrap,
+        verify-fix (decrypt/compare/repair on device), scatter results —
+        with all index arrays padded to pow2 buckets so the whole circuit
+        compiles O(log max_width) programs (see _use_level_jit).
+
+        Padding protocol: index arrays pad with the dummy wire slot
+        (index n_wires); padded lanes read whatever the dummy slot holds,
+        their bootstrap results are scattered back onto the dummy slot, and
+        verify masks them out — dummy content is don't-care by construction.
+        """
+        import jax.numpy as jnp
+
+        T = self._batch
+        p = self.params
+        dummy = self._ct_arena.shape[0] - 1  # the padded-gate slot
+        W = len(ops)
+        CW = max(32, 1024 // max(T, 1))  # gates per chunk: batch <= ~1024
+        for k0 in range(0, W, CW):
+            w = min(CW, W - k0)
+            Wpad = 32
+            while Wpad < w:
+                Wpad *= 2
+            sl = slice(k0, k0 + w)
+            i0 = np.full(Wpad, dummy, np.int32)
+            i0[:w] = in0[sl]
+            i1 = np.full(Wpad, dummy, np.int32)
+            i1[:w] = in1[sl]
+            ow = np.full(Wpad, dummy, np.int32)
+            ow[:w] = outw[sl]
+            gg = np.zeros(Wpad, np.int32)
+            gg[:w] = gate_ids[sl]
+            ov = np.zeros(Wpad, np.int32)
+            ov[:w] = ops[sl]
+            want = np.zeros((Wpad, T), np.int32)
+            if self.verify_flag:
+                want[:w] = self._plain_arena[:, outw[sl]].T
+                key = self._next_key()
+                if self._bad_dev is None:
+                    self._bad_dev = jnp.zeros((_N_OPS,), jnp.int32)
+                bad = self._bad_dev
+            else:
+                key = self._zero_key()
+                bad = jnp.zeros((_N_OPS,), jnp.int32)
+            fn = _fused_level_fn(T, Wpad, self.verify_flag, p.n, p.q)
+            self._ct_arena, bad = fn(
+                self.dkeys, self._s_dev(), self._ct_arena,
+                jnp.asarray(i0), jnp.asarray(i1), jnp.asarray(ow),
+                jnp.asarray(gg), jnp.asarray(ov), jnp.asarray(want), key, bad,
+            )
+            if self.verify_flag:
+                self._bad_dev = bad
+            self._bootstraps_run += w * T
+
+    def _zero_key(self):
+        import jax
+
+        if getattr(self, "_zero_key_arr", None) is None:
+            self._zero_key_arr = jax.random.PRNGKey(0)
+        return self._zero_key_arr
 
     def _run_compound_xor(self, ops, in0, in1, outw) -> None:
         """3-bootstrap XOR rewrite, vectorized: t1=AND(a,!b), t2=AND(!a,b),
@@ -627,6 +736,8 @@ class Circuit:
         if self.encrypted_flag:
             import jax.numpy as jnp
 
+            use_jit = self._use_level_jit()
+            dummy = self._ct_arena.shape[0] - 1
             arena = self._ct_arena
             # segment into runs of the same op that don't read their own
             # outputs; rank ordering guarantees correctness of sequential runs
@@ -639,6 +750,28 @@ class Circuit:
                     j += 1
                 idx_in = in0[k:j]
                 idx_out = outw[k:j]
+                if use_jit:
+                    # fixed-bucket jitted segment (see _use_level_jit):
+                    # pad indices with the dummy slot, ONE dispatch
+                    L = 32
+                    while L < j - k:
+                        L *= 2
+                    ii = np.full(L, dummy, np.int32)
+                    ii[: j - k] = idx_in
+                    oo = np.full(L, dummy, np.int32)
+                    oo[: j - k] = idx_out
+                    kind = (
+                        "not" if o == int(Op.NOT)
+                        else "eqw" if o == int(Op.EQW)
+                        else "const"
+                    )
+                    bit = 1 if o == int(Op.EQ1) else 0
+                    fn = _lin_level_fn(
+                        kind, L, self._batch, self.params.n, q, bit
+                    )
+                    arena = fn(arena, jnp.asarray(ii), jnp.asarray(oo))
+                    k = j
+                    continue
                 if o == int(Op.NOT):
                     vals = lwe.eval_not_batch(arena[idx_in], q)
                 elif o == int(Op.EQW):
@@ -739,3 +872,58 @@ def _gate_batch_jit():
 
 def _jit_gate_batch(dkeys, gids, c1, c2):
     return _gate_batch_jit()(dkeys, gids, c1, c2)
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_level_fn(T: int, Wpad: int, verify: bool, n: int, q: int):
+    """Jitted fused level program (see Circuit._run_level_boot_fused).
+
+    fn(dkeys, s_dev, arena, in0, in1, outw, gids, opsv, want, key, bad_acc)
+      -> (arena', bad_acc')
+
+    arena is DONATED (the [n_wires, T, n+1] ciphertext arena updates in
+    place on device — no per-level copy)."""
+    import jax
+    import jax.numpy as jnp
+
+    def fn(dkeys, s_dev, arena, in0, in1, outw, gids, opsv, want, key, bad_acc):
+        c1 = arena[in0].reshape(Wpad * T, n + 1)
+        c2 = arena[in1].reshape(Wpad * T, n + 1)
+        g = jnp.repeat(gids, T)
+        out = boot.eval_bin_gate_batch(dkeys, g, c1, c2).reshape(Wpad, T, n + 1)
+        if verify:
+            got = lwe.decrypt_bits_dev(s_dev, out, q)  # [Wpad, T]
+            valid = (outw < arena.shape[0] - 1)[:, None]  # mask padded lanes
+            bad = (got != want) & valid
+            fixed = lwe.encrypt_bits_dev(
+                s_dev, want.reshape(-1), key, dkeys.params
+            ).reshape(Wpad, T, n + 1)
+            out = jnp.where(bad[:, :, None], fixed, out)
+            bad_acc = bad_acc.at[opsv].add(bad.sum(axis=1).astype(jnp.int32))
+        arena = arena.at[outw].set(out)
+        return arena, bad_acc
+
+    return jax.jit(fn, donate_argnums=(2,))
+
+
+@functools.lru_cache(maxsize=None)
+def _lin_level_fn(kind: str, L: int, T: int, n: int, q: int, bit: int = 0):
+    """Jitted linear-gate segment (NOT / EQW / EQ-const) with donated arena;
+    index arrays pad with the dummy slot like _fused_level_fn."""
+    import jax
+    import jax.numpy as jnp
+
+    def fn(arena, idx_in, idx_out):
+        if kind == "not":
+            vals = lwe.eval_not_batch(arena[idx_in], q)
+        elif kind == "eqw":
+            vals = arena[idx_in]
+        else:  # const
+            vals = (
+                jnp.zeros((L, T, n + 1), jnp.int32)
+                .at[..., -1]
+                .set(bit * (q // 4))
+            )
+        return arena.at[idx_out].set(vals)
+
+    return jax.jit(fn, donate_argnums=(0,))

@@ -15,7 +15,7 @@ import pytest
 
 from oece_tpu.fhe import boot, devkeygen, golden, keycache, lwe, modmath
 from oece_tpu.fhe import pallas_kernels as pk
-from oece_tpu.fhe.params import MICRO, MICRO_A, BinFHEMethod
+from oece_tpu.fhe.params import MICRO, MICRO_A, TOY, BinFHEMethod
 
 
 def test_pack_windows_parity():
@@ -106,6 +106,47 @@ def test_build_rev_true_dev_matches_host():
     want = np.stack([pk.build_rev_true_host(p_, R, N) for p_ in perm])
     got = np.asarray(devkeygen._build_rev_true(jnp.asarray(perm), R, N))
     np.testing.assert_array_equal(got, want)
+
+
+def test_prebuilt_step_zlb_parity_toy(monkeypatch):
+    """The zero_low_bits barrel-skip path of cmux_epilogue_true is live at
+    TOY (N=512, q=512 => zlb=1) but dead at MICRO (2N == q).  Prebuilt-step
+    parity vs the jnp path with a_col drawn as multiples of 2N/q — the
+    invariant the skip relies on (ADVICE r3).  Synthetic RGSW material: the
+    two paths must agree on ANY key-shaped int8 inputs."""
+    monkeypatch.setattr(boot, "PALLAS_INTERPRET", True)
+    p = TOY
+    Q, N = p.Q, p.N
+    assert 2 * N // p.q == 2  # zlb = 1: the skip is actually exercised
+    rng = np.random.default_rng(20)
+    R = 2 * p.d_g_used
+    n_steps = 2
+    brk = rng.integers(0, Q, (n_steps, 2, R, 2, N), dtype=np.int64)
+    kext = jnp.asarray(boot._poly_ext_limbs(brk, Q))  # [s, 2, R, 2, L, 2N]
+    perm = np.transpose(np.asarray(boot._poly_ext_limbs(brk, Q)),
+                        (0, 2, 1, 3, 4, 5)).reshape(n_steps, -1, 2 * N)
+    rev = jnp.asarray(
+        np.stack([pk.build_rev_true_host(perm[i], R, N) for i in range(n_steps)])
+    )
+    B = 8
+    acc = rng.integers(0, Q, (B, 2, N)).astype(np.int32)
+    a_col = (2 * rng.integers(0, N, (B,))).astype(np.int32)  # multiples of 2N/q
+    i = np.arange(N, dtype=np.int32)
+    idx2n = jnp.asarray((i[None, :] - i[:, None]) & (2 * N - 1))
+    for step in range(n_steps):
+        want = np.asarray(
+            boot._external_cmux_ginx(
+                jnp.asarray(acc), jnp.asarray(a_col), kext[step], idx2n, p
+            )
+        )
+        got = np.asarray(
+            boot._external_cmux_prebuilt(
+                jnp.asarray(acc), jnp.asarray(a_col), rev[step], p,
+                interpret=True,
+            )
+        )
+        np.testing.assert_array_equal(got, want)
+        acc = got  # chain
 
 
 def test_prebuilt_step_bitexact_vs_jnp(monkeypatch):

@@ -63,6 +63,41 @@ def test_circuit_dp_pallas_layout(monkeypatch):
     _run_adder(mesh, use_pallas_interpret=True, monkeypatch=monkeypatch)
 
 
+def test_circuit_dp_device_keygen_rev_layout(monkeypatch):
+    """Device keygen x dp mesh — the PRODUCTION TPU combination (VERDICT r3
+    #2: `Circuit(set=..., mesh=...)` after device keygen used to crash
+    because shard_bootstrap_keys silently dropped the ginx_rev layout).
+    Forces the device-keygen path on the CPU mesh via the interpret-mode
+    Pallas kernels and checks end-to-end correctness + bit-parity with the
+    unsharded device-keygen evaluation."""
+    from oece_tpu.fhe import boot
+
+    monkeypatch.setattr(boot, "PALLAS_INTERPRET", True)
+    monkeypatch.setenv("OECE_FORCE_DEVICE_KEYGEN", "1")
+
+    rng_in = np.random.default_rng(7)
+    in1 = rng_in.integers(0, 2, (4, 2))
+    in2 = rng_in.integers(0, 2, (4, 2))
+
+    def run(mesh):
+        c = Circuit(set="MICRO", method="GINX", seed=3, mesh=mesh)
+        assert c.dkeys.ginx_rev is not None, "device keygen must be in force"
+        c.ReadFile(ADDER)
+        c.setVerify(True)
+        c.SetInput([in1, in2])
+        c.Clock()
+        assert c.bad_gate_counts == {}, c.bad_gate_counts
+        return c.GetOutput()[0]
+
+    got = run(make_mesh(8, tp=1))
+    v1 = in1 @ (1 << np.arange(2))
+    v2 = in2 @ (1 << np.arange(2))
+    want = v1 + v2
+    assert np.array_equal(got @ (1 << np.arange(got.shape[1])), want)
+    # bit-parity with the unsharded path under the same seed
+    assert np.array_equal(got, run(None))
+
+
 def test_circuit_mesh_matches_single_device():
     """Sharded evaluation is bit-identical on outputs to the unsharded one
     (same keys/seed)."""
