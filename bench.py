@@ -11,9 +11,12 @@ than a slower benchmark):
   * The parent process is a tiny orchestrator.  It runs each measurement
     TIER in a subprocess with a wall-clock budget; a tier whose XLA/Mosaic
     compile hangs is killed without taking the benchmark down.
-  * Tier "split"  = the hardware-proven split Pallas pipeline (OECE_FUSED=0,
-    the r1 path).  Tier "fused" = the single-megakernel blind rotation
-    (OECE_FUSED=1).  The best verified number wins.
+  * Tier "split" = the r3 prebuilt-diagonal pipeline (devkeygen layout
+    "rev": window_matmul_dec_true + cmux_epilogue_true).  Tier "rot" = the
+    lever-2 fused rotated-difference step (layout "rev2": pk.rot_step_true,
+    rotation before decomposition, no epilogue kernel — ROOFLINE §4).  The
+    two tiers run genuinely different kernels (VERDICT r3 #6); the best
+    verified number wins.
   * SIGTERM/SIGALRM print the best-so-far JSON before exiting, so even an
     external `timeout` on the parent still yields a parsable line.
   * Both tiers share the on-disk key cache (fhe/keycache.py) and the
@@ -75,7 +78,7 @@ def _result_json(value, params_name, extra=None):
 
 def run_tier(tier: str) -> None:
     """Measure one pipeline configuration in-process; print ONE JSON line."""
-    os.environ["OECE_FUSED"] = "1" if tier == "fused" else "0"
+    layout = "rev2" if tier == "rot" else "rev"
     from oece_tpu.utils import apply_platform_env
 
     apply_platform_env()  # dev: OECE_PLATFORM=cpu forces the CPU backend
@@ -100,7 +103,7 @@ def run_tier(tier: str) -> None:
         # 2 KB LWE secret comes back for host encrypt/decrypt.
         from oece_tpu.fhe import devkeygen
 
-        sk, _z, dkeys = devkeygen.device_keygen(params, seed=0)
+        sk, _z, dkeys = devkeygen.device_keygen(params, seed=0, layout=layout)
     else:
         sk, bk = keycache.load_or_generate(params, BinFHEMethod.GINX, 0)
         dkeys = boot.pack_bootstrap_key(bk)
@@ -238,8 +241,8 @@ def main() -> None:
     signal.alarm(int(TOTAL_BUDGET_S))
 
     # Tier order: hardware-proven pipeline first (guarantees a number),
-    # then the fused megakernel upgrade with whatever budget remains.
-    for tier_name in ("split", "fused"):
+    # then the rotated-difference upgrade with whatever budget remains.
+    for tier_name in ("split", "rot"):
         remaining = deadline - time.time()
         if remaining < TIER_MIN_S and best is not None:
             print(

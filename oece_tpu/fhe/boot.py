@@ -42,13 +42,13 @@ from .params import BinFHEParams, BinFHEMethod, BinGate, Q27
 # Largest per-kernel-call batch (VMEM bound); bigger batches are chunked.
 PALLAS_MAX_B = 512
 
-# Fully-fused single-kernel blind rotation (pallas_kernels megakernels);
-# OECE_FUSED=1 opts in.  Default OFF (ADVICE r2): the megakernel must prove
-# a tractable compile + a verified encrypted result on real hardware before
-# becoming the production default; the split fused_step/jnp pipeline below is
-# the hardware-verified path (BENCH_r01).  bench.py flips this per-tier.
-USE_FUSED_STEP = os.environ.get("OECE_FUSED", "0") == "1"
-FUSED_MAX_B = 1024  # megakernel batch chunk (VMEM-bound; ~65 MiB at STD128)
+# Per-step kernel batch chunk (VMEM-bound).  The r2/r3 GINX "megakernel"
+# (all n steps in one pallas_call, permuted-lane accumulator) is DELETED
+# (VERDICT r3 #6): it never produced hardware evidence, and the prebuilt
+# rev/rev2 layouts made both its premise (per-step dense build) and its
+# lane-permute machinery obsolete.  The AP megakernel remains — it is the
+# binary-base AP TPU vehicle (blind_rotate_ap_megakernel).
+FUSED_MAX_B = 1024
 
 # Run Pallas kernels in interpreter mode (tests on the virtual CPU mesh can
 # then exercise the exact production kernel path without a TPU).
@@ -106,12 +106,18 @@ class DeviceBootKeys:
     # [n, (2*nt-1)*R*128, M*128] (fhe/devkeygen.py; the round-3 hot path —
     # kills the per-step dense build and the lane permutation entirely).
     ginx_rev: Optional[jnp.ndarray] = None
+    # Per-part prebuilt diagonals int8 [n, 2, (2*nt-1)*R*128, 8*128] for the
+    # fused rotated-difference step (pk.rot_step_true; ROOFLINE §4 lever 2 —
+    # the rotation moves before decomposition, the epilogue kernel and its
+    # [B, 4, N] HBM round-trip disappear).  Golden twin:
+    # golden.blind_rotate_ginx_rot.
+    ginx_rev2: Optional[jnp.ndarray] = None
 
 
 def _dbk_flatten(k: DeviceBootKeys):
     return (
         (k.ginx_kext, k.ap_kext, k.ksk, k.tv_table, k.ginx_pallas,
-         k.ap_pallas, k.ginx_rev),
+         k.ap_pallas, k.ginx_rev, k.ginx_rev2),
         (k.params, k.method),
     )
 
@@ -119,11 +125,11 @@ def _dbk_flatten(k: DeviceBootKeys):
 def _dbk_unflatten(aux, children):
     params, method = aux
     (ginx_kext, ap_kext, ksk, tv_table, ginx_pallas, ap_pallas,
-     ginx_rev) = children
+     ginx_rev, ginx_rev2) = children
     return DeviceBootKeys(
         params=params, method=method, ginx_kext=ginx_kext, ap_kext=ap_kext,
         ksk=ksk, tv_table=tv_table, ginx_pallas=ginx_pallas,
-        ap_pallas=ap_pallas, ginx_rev=ginx_rev,
+        ap_pallas=ap_pallas, ginx_rev=ginx_rev, ginx_rev2=ginx_rev2,
     )
 
 
@@ -402,12 +408,37 @@ def _external_cmux_prebuilt(acc, a_col, rev_i, p: BinFHEParams, interpret=None):
     )
 
 
+def _external_cmux_rot(acc, a_col, rev2_i, p: BinFHEParams, interpret=None):
+    """One GINX step, CGGI rotated-difference form, as ONE fused kernel
+    (pk.rot_step_true).  Bit-exact equal to golden.blind_rotate_ginx_rot's
+    step given equivalent key material (tests/test_rot_form.py)."""
+    if interpret is None:
+        interpret = PALLAS_INTERPRET
+    Q, N = p.Q, p.N
+    c_pos = (2 * N - a_col) & (2 * N - 1)
+    amt = jnp.stack([c_pos, a_col], axis=1)  # [B, 2]
+    zlb = max(0, int(np.log2(2 * N // p.q)))
+    return pk.rot_step_true(
+        acc, rev2_i, amt, Q, p.B_g, p.d_g_used, p.g_shift,
+        block_b=FUSED_MAX_B, interpret=interpret, zero_low_bits=zlb,
+    )
+
+
 def blind_rotate_ginx_dev(
     acc: jnp.ndarray, a2N: jnp.ndarray, keys: DeviceBootKeys, tp_axis=None
 ) -> jnp.ndarray:
     """Scan the n CMUX steps.  a2N: int32 [B, n] in [0, 2N)."""
     p = keys.params
     N = p.N
+    if keys.ginx_rev2 is not None:
+        assert tp_axis is None, "tensor parallelism uses the jnp key layout"
+
+        def body_rot(carry, xs):
+            a_col, rev2_i = xs
+            return _external_cmux_rot(carry, a_col, rev2_i, p), None
+
+        acc, _ = jax.lax.scan(body_rot, acc, (a2N.T, keys.ginx_rev2))
+        return acc
     if keys.ginx_rev is not None:
         assert tp_axis is None, "tensor parallelism uses the jnp key layout"
 
@@ -419,8 +450,6 @@ def blind_rotate_ginx_dev(
         return acc
     if keys.ginx_pallas is not None:
         assert tp_axis is None, "tensor parallelism uses the jnp key layout"
-        if USE_FUSED_STEP:
-            return _blind_rotate_fused(acc, a2N, keys)
 
         def body_pallas(carry, xs):
             a_col, kwin_i = xs
@@ -438,28 +467,6 @@ def blind_rotate_ginx_dev(
 
     acc, _ = jax.lax.scan(body, acc, (a2N.T, keys.ginx_kext))
     return acc
-
-
-def _blind_rotate_fused(
-    acc: jnp.ndarray, a2N: jnp.ndarray, keys: DeviceBootKeys,
-    interpret: Optional[bool] = None,
-) -> jnp.ndarray:
-    """Scan the n CMUX steps as ONE fused Pallas kernel per step; the
-    accumulator stays in the kernel's permuted lane layout across the whole
-    rotation (see pallas_kernels.fused_step_pallas)."""
-    if interpret is None:
-        interpret = PALLAS_INTERPRET
-    p = keys.params
-    N, two_n = p.N, 2 * p.N
-    accp = pk.permute_lanes(acc)
-    c_pos = (two_n - a2N) & (two_n - 1)
-    amt = jnp.transpose(jnp.stack([c_pos, a2N], axis=2), (1, 0, 2))  # [n,B,2]
-    accp = pk.blind_rotate_megakernel(
-        accp, keys.ginx_pallas, amt,
-        R=2 * p.d_g_used, Q=p.Q, B_g=p.B_g, d_used=p.d_g_used,
-        g_shift=p.g_shift, block_b=FUSED_MAX_B, interpret=interpret,
-    )
-    return pk.unpermute_lanes(accp)
 
 
 def _blind_rotate_ap_fused(

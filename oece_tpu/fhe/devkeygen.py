@@ -194,8 +194,8 @@ def _seed_words(seed) -> np.ndarray:
     return w
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
-def _keygen_jit(params: BinFHEParams, seed_words):
+@functools.partial(jax.jit, static_argnames=("params", "layout"))
+def _keygen_jit(params: BinFHEParams, seed_words, layout: str = "rev"):
     p = params
     n, N, Q, Qks = p.n, p.N, p.Q, p.Q_ks
     d = p.d_g_used
@@ -233,9 +233,21 @@ def _keygen_jit(params: BinFHEParams, seed_words):
 
     # ---- pack for the Pallas kernels ---------------------------------------
     kext = _ext_limb_planes(brk, Q)  # [n, parts, rows, out, L, 2N]
-    RM = 2 * d * 2 * 2 * modmath.N_LIMBS
-    perm = jnp.transpose(kext, (0, 2, 1, 3, 4, 5)).reshape(n, RM, 2 * N)
-    rev = _build_rev_true(perm.astype(jnp.int8), 2 * d, N)
+    if layout == "rev2":
+        # Per-part diagonals for the rotated-difference step kernel
+        # (pk.rot_step_true): rows r-major, m = (out, limb) minor, parts as
+        # a leading axis — each part contracts against its own key half.
+        M8 = 2 * modmath.N_LIMBS
+        perm2 = jnp.transpose(kext, (0, 1, 2, 3, 4, 5)).reshape(
+            n * 2, 2 * d * M8, 2 * N
+        )
+        rev = _build_rev_true(perm2.astype(jnp.int8), 2 * d, N).reshape(
+            n, 2, -1, M8 * TILE
+        )
+    else:
+        RM = 2 * d * 2 * 2 * modmath.N_LIMBS
+        perm = jnp.transpose(kext, (0, 2, 1, 3, 4, 5)).reshape(n, RM, 2 * N)
+        rev = _build_rev_true(perm.astype(jnp.int8), 2 * d, N)
 
     # ---- key-switch key -----------------------------------------------------
     d_ks, B_ks = p.d_ks, p.B_ks
@@ -253,8 +265,121 @@ def _keygen_jit(params: BinFHEParams, seed_words):
     return s, z, rev, ksk_limbs
 
 
-def device_keygen(
+@functools.partial(jax.jit, static_argnames=("params",))
+def _keygen_ap_jit(params: BinFHEParams, seed_words):
+    """Binary-base AP refresh keys ON DEVICE (VERDICT r3 #5).
+
+    ak[i, j, v=1] = RGSW( X^{2^j * s_i mod 2N} ) packed as Pallas key
+    windows (boot.DeviceBootKeys.ap_pallas layout) — ~2.7 GB at
+    STD128_OPT, generated in seconds on device vs. a multi-GB upload
+    through the ~1 MB/s relay.  v=0 is the identity and stays a public-bit
+    select on device (boot._blind_rotate_ap_fused).
+
+    Secrets (s, z) and the key-switch key derive from the same PRF splits
+    as the GINX keygen, so GINX and AP keys of one seed share ciphertext
+    compatibility (same LWE secret, same ksk).
+    """
+    p = params
+    n, N, Q, Qks = p.n, p.N, p.Q, p.Q_ks
+    assert p.B_r == 2, "device AP keygen targets the binary rotation base"
+    d = p.d_g_used
+    shift = p.g_shift
+    d_r = p.d_r
+    root = jax.random.PRNGKey(0)
+    for i in range(8):
+        root = jax.random.fold_in(root, seed_words[i])
+    k_s, k_z, k_ba, k_be, k_aa, k_ae, k_ka, k_ke = jax.random.split(root, 8)
+
+    s = _ternary(k_s, (n,))
+    z = _ternary(k_z, (N,))
+
+    steps = n * d_r
+    jj = jnp.arange(d_r, dtype=jnp.int32)
+    # exponent of the v=1 monomial per (i, j): (2^j * s_i) mod 2N
+    c = (s[:, None] * (1 << jj)[None, :]) % (2 * N)  # [n, d_r] in [0, 2N)
+    c = c.reshape(steps)
+    A = _uniform_mod(k_aa, (steps, 2 * d, N), Q)
+    E = _gauss(k_ae, p.sigma, (steps, 2 * d, N))
+    B = modmath.mod_q(_negacyclic_by_ternary(A, z, Q) + E + 2 * Q, Q)
+    # monomial ring message: mono[cc] = ±1 mod Q with X^N == -1 wraparound
+    kpos = jnp.arange(N, dtype=jnp.int32)
+    sgn = jnp.where(c < N, 1, Q - 1).astype(jnp.int32)
+    mono = jnp.where(
+        kpos[None, :] == (c % N)[:, None], sgn[:, None], 0
+    )  # [steps, N]
+    g = jnp.asarray(
+        [(pow(p.B_g, j_, Q) << shift) % Q for j_ in range(d)], jnp.int32
+    )
+    # mono entries are {0, 1, Q-1}: form (mono * g) mod Q without the
+    # int32-overflowing product (Q-1)*g
+    m_b = mono[:, None, :]  # [steps, 1, N]
+    g_b = g[None, :, None]  # [1, d, 1]
+    mg = (m_b == 1) * g_b + (m_b == (Q - 1)) * (Q - g_b)  # [steps, d, N] < Q
+    zero = jnp.zeros_like(mg)
+    add_a = jnp.concatenate([mg, zero], axis=1)  # rows j<d get a += m*g
+    add_b = jnp.concatenate([zero, mg], axis=1)  # rows d+j get b += m*g
+    a_slot = modmath.mod_q(A + add_a, Q)
+    b_slot = modmath.mod_q(B + add_b, Q)
+    rows = jnp.stack([a_slot, b_slot], axis=2)  # [steps, 2d, 2, N]
+
+    nt = N // TILE
+    ndiag = 2 * nt - 1
+    Ma = 2 * modmath.N_LIMBS  # out * limbs
+
+    def pack_one(rows_i):
+        kext = _ext_limb_planes(rows_i, Q)  # [2d, 2, L, 2N]
+        perm = kext.reshape(2 * d * Ma, 2 * N).astype(jnp.int8)
+        return _pack_windows(perm, N).reshape(ndiag, 4, 2 * d * Ma * SPANW)
+
+    wins = jax.lax.map(pack_one, rows)  # [steps, ndiag, 4, R*Ma*SPANW]
+
+    # ---- key-switch key (identical derivation to _keygen_jit) -------------
+    d_ks, B_ks = p.d_ks, p.B_ks
+    Aks = _uniform_mod(k_ka, (N * d_ks, n), Qks)
+    Eks = _gauss(k_ke, p.sigma, (N * d_ks,))
+    gk = jnp.asarray([pow(B_ks, j_, Qks) for j_ in range(d_ks)], jnp.int32)
+    zg = (jnp.repeat(z, d_ks) * jnp.tile(gk, N)) % Qks
+    bks = (jnp.einsum("ki,i->k", Aks, s) + Eks + zg) % Qks
+    ksk = jnp.concatenate([Aks, bks[:, None]], axis=1)
+    kc = ksk - (ksk >= Qks // 2) * Qks
+    l0 = kc - ((kc + 128) >> 8 << 8)
+    l1 = (kc - l0) >> 8
+    ksk_limbs = jnp.stack([l0, l1], axis=-1).astype(jnp.int8)
+
+    return s, z, wins, ksk_limbs
+
+
+def device_keygen_ap(
     params: BinFHEParams, seed=None
+) -> tuple[golden.LWESecretKey, jnp.ndarray, boot.DeviceBootKeys]:
+    """Generate binary-base AP bootstrap keys ON DEVICE from a seed.
+
+    Same seed policy as device_keygen; returns DeviceBootKeys with the
+    ``ap_pallas`` window layout consumed by boot._blind_rotate_ap_fused
+    (the AP megakernel)."""
+    assert params.N % TILE == 0, "Pallas layout requires N % 128 == 0"
+    s, z, wins, ksk_limbs = _keygen_ap_jit(
+        params, jnp.asarray(_seed_words(seed))
+    )
+    s_host = np.asarray(s).astype(np.int64)
+    sk = golden.LWESecretKey(s=s_host, params=params)
+    tv = np.stack(
+        [golden.make_test_vector(params, g) for g in boot.GATE_ORDER]
+    ).astype(np.int64)
+    dkeys = boot.DeviceBootKeys(
+        params=params,
+        method=BinFHEMethod.AP,
+        ginx_kext=None,
+        ap_kext=None,
+        ksk=ksk_limbs,
+        tv_table=jnp.asarray(tv, dtype=jnp.int32),
+        ap_pallas=wins,
+    )
+    return sk, z, dkeys
+
+
+def device_keygen(
+    params: BinFHEParams, seed=None, layout: str = "rev"
 ) -> tuple[golden.LWESecretKey, jnp.ndarray, boot.DeviceBootKeys]:
     """Generate GINX bootstrap keys ON DEVICE from a seed.
 
@@ -262,11 +387,20 @@ def device_keygen(
     OS entropy; an int or uint32[8] array gives a deterministic key for
     tests/benchmarks (NOT secure — 2**31 seeds are enumerable).
 
+    ``layout``: "rev" packs for the r3 split pipeline
+    (window_matmul_dec_true + cmux_epilogue_true); "rev2" packs per-part
+    diagonals for the fused rotated-difference step (pk.rot_step_true,
+    ROOFLINE §4 lever 2).  Same key material either way — only the dense
+    block layout differs.
+
     Returns (sk_host, z_dev, DeviceBootKeys) — the LWE secret is downloaded
     (2 KB) so the host can encrypt/decrypt; everything else stays on device.
     """
     assert params.N % TILE == 0, "Pallas layout requires N % 128 == 0"
-    s, z, rev, ksk_limbs = _keygen_jit(params, jnp.asarray(_seed_words(seed)))
+    assert layout in ("rev", "rev2"), layout
+    s, z, rev, ksk_limbs = _keygen_jit(
+        params, jnp.asarray(_seed_words(seed)), layout
+    )
     s_host = np.asarray(s).astype(np.int64)  # 2 KB fetch (barrier)
     sk = golden.LWESecretKey(s=s_host, params=params)
     tv = np.stack(
@@ -279,6 +413,7 @@ def device_keygen(
         ap_kext=None,
         ksk=ksk_limbs,
         tv_table=jnp.asarray(tv, dtype=jnp.int32),
-        ginx_rev=rev,
+        ginx_rev=rev if layout == "rev" else None,
+        ginx_rev2=rev if layout == "rev2" else None,
     )
     return sk, z, dkeys

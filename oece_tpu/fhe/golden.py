@@ -467,6 +467,42 @@ def blind_rotate_ginx(
     return acc
 
 
+def blind_rotate_ginx_rot(
+    params: BinFHEParams, bk: BootstrapKey, ct_2N: np.ndarray, tv: np.ndarray
+) -> np.ndarray:
+    """GINX blind rotation in the CGGI ROTATED-DIFFERENCE form (the lever-2
+    step layout, ROOFLINE.md §4): per step,
+
+        acc += Z+_i ⊡ ((X^{-a_i} - 1) * acc)  +  Z-_i ⊡ ((X^{a_i} - 1) * acc)
+
+    i.e. the monomial rotation applies to the ACCUMULATOR before gadget
+    decomposition (the original CMUX of Chillotti et al. 2016), instead of
+    to the external-product output afterwards (blind_rotate_ginx above,
+    which mirrors the per-output-rotation layout the r1-r3 kernels used).
+    Same contract, same MXU work, but the device step needs no post-matmul
+    rotation/subtraction pass — and the decomposition rounding error is NOT
+    amplified by the (X^c - 1) factor, so per-step noise is slightly lower.
+
+    Kept separate from blind_rotate_ginx (not a flag) because the two forms
+    produce different ciphertext bits for identical keys and the device
+    kernels are pinned bit-exactly against their matching golden form.
+    """
+    N, Q, n = params.N, params.Q, params.n
+    a, b = ct_2N[:-1], int(ct_2N[-1])
+    acc = np.zeros((2, N), dtype=np.int64)
+    acc[1] = negacyclic_monomial_mul(tv, b, N, Q)
+    for i in range(n):
+        ai = int(a[i]) % (2 * N)
+        if ai == 0:
+            continue
+        d_pos = (negacyclic_monomial_mul(acc, 2 * N - ai, N, Q) - acc) % Q
+        d_neg = (negacyclic_monomial_mul(acc, ai, N, Q) - acc) % Q
+        p_pos = external_product(params, d_pos, bk.brk_pos[i])
+        p_neg = external_product(params, d_neg, bk.brk_neg[i])
+        acc = (acc + p_pos + p_neg) % Q
+    return acc
+
+
 def blind_rotate_ap(
     params: BinFHEParams, bk: BootstrapKey, ct_2N: np.ndarray, tv: np.ndarray
 ) -> np.ndarray:
@@ -518,14 +554,19 @@ def key_switch(params: BinFHEParams, ksk: np.ndarray, ct_N: np.ndarray) -> np.nd
 
 
 def bootstrap(
-    params: BinFHEParams, bk: BootstrapKey, ct: np.ndarray, gate: BinGate
+    params: BinFHEParams, bk: BootstrapKey, ct: np.ndarray, gate: BinGate,
+    form: str = "std",
 ) -> np.ndarray:
-    """Full gate bootstrap of the prepared LWE ct (mod q) -> fresh ct (mod q)."""
+    """Full gate bootstrap of the prepared LWE ct (mod q) -> fresh ct (mod q).
+
+    ``form="rot"`` selects the rotated-difference GINX step
+    (blind_rotate_ginx_rot — the lever-2 device layout's golden twin)."""
     N, Q, q = params.N, params.Q, params.q
     ct_2N = lwe_mod_switch(ct, q, 2 * N)
     tv = make_test_vector(params, gate)
     if bk.method == BinFHEMethod.GINX:
-        acc = blind_rotate_ginx(params, bk, ct_2N, tv)
+        rot_fn = blind_rotate_ginx_rot if form == "rot" else blind_rotate_ginx
+        acc = rot_fn(params, bk, ct_2N, tv)
     else:
         acc = blind_rotate_ap(params, bk, ct_2N, tv)
     ct_N = sample_extract(params, acc)

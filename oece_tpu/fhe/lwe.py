@@ -96,3 +96,21 @@ def decrypt_bits_dev(s_dev, cts, q: int):
 
     phase = (cts[..., -1] - jnp.einsum("...i,i->...", cts[..., :-1], s_dev)) % q
     return (((phase + q // 8) // (q // 4)) % 4) & 1
+
+
+def phase_margin_dev(s_dev, cts, q: int):
+    """Device-side nearest-VALID decode + centered phase error.
+
+    Valid gate plaintexts encode only at {0, q/4} (bits), so the nearest
+    valid decode is bit=1 iff phase in (q/8, 5q/8).  Returns (bit, err)
+    with err = center(phase - bit*q/4) — the phase margin used by the
+    encrypted-mode failure recovery (evaluator.setRecovery): |err| >= q/8
+    proves a bootstrap failure WITHOUT the plaintext model (the phase sits
+    outside every valid decode window).
+    """
+    import jax.numpy as jnp
+
+    phase = (cts[..., -1] - jnp.einsum("...i,i->...", cts[..., :-1], s_dev)) % q
+    bit = (((phase - q // 8) % q) < (q // 2)).astype(jnp.int32)
+    err = (phase - bit * (q // 4) + q // 2) % q - q // 2
+    return bit, err

@@ -736,155 +736,6 @@ def build_rev_pallas(win, R: int, M: int, interpret: bool = False):
     )(win)
 
 
-def _decompose_kernel(acc_ref, digs_ref, *, nt, R, Q, B_g, d_used, g_shift):
-    """acc [TB, 2, N] (permuted lanes) -> digit rows [TB, nt*R*TILE] int8."""
-    RT = R * TILE
-    for p in range(2):
-        col = acc_ref[:, p, :]  # [TB, N]
-        planes = _decompose_lanes(col, Q, B_g, d_used, g_shift)
-        for dgt, plane in enumerate(planes):
-            rr = p * d_used + dgt
-            for j in range(nt):
-                digs_ref[:, j * RT + rr * TILE : j * RT + (rr + 1) * TILE] = (
-                    plane[:, j * TILE : (j + 1) * TILE]
-                )
-
-
-def _window_matmul_perm_kernel(digs_ref, rev_ref, out_ref, *, nt, RT, M, TB, Q):
-    """Grid (b_chunks, nt): one [TB, nt*RT] x [nt*RT, M*TILE] int8 MXU dot
-    per output tile (rev VMEM-resident), limb combine fused."""
-    k = pl.program_id(1)
-    win_rows = rev_ref[pl.ds((nt - 1 - k) * RT, nt * RT), :]
-    res = jax.lax.dot_general(
-        digs_ref[...],
-        win_rows,
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )  # [TB, M*TILE]
-    out_ref[:, :, pl.ds(k * TILE, TILE)] = _combine_limbs_tile(
-        res.reshape(TB, M // 4, 4, TILE), Q
-    )
-
-
-def _cmux_epilogue_perm_kernel(pacc_ref, acc_ref, amt_ref, out_ref, *, N, Q, TB):
-    """Permuted-space per-gate rotations + CMUX add:
-    out = red31(acc + X^amt0*P0 + X^amt1*P1 + 2Q - P0 - P1).
-
-    Processed in small batch sub-chunks, one RGSW part at a time, to bound
-    the barrel's live temporaries (one big [TB,2,2,N] rotation spills the
-    Mosaic register allocator by >100 MB at TB=512, N=1024 — measured)."""
-    EB = math.gcd(TB, 64)  # always divides TB: no silently-dropped tail rows
-    lane = jax.lax.broadcasted_iota(jnp.int32, (EB, 2, N), 2)
-    for s0 in range(0, TB, EB):
-        P0 = pacc_ref[s0 : s0 + EB, 0:2, :]  # part 0: [EB, 2(out), N]
-        P1 = pacc_ref[s0 : s0 + EB, 2:4, :]
-        amt_c = jnp.concatenate(
-            [amt_ref[s0 : s0 + EB]] * (N // TILE), axis=-1
-        )  # [EB, 2, N]
-        rot0 = _monomial_rotate_perm(P0, amt_c[:, 0:1, :], N, Q, lane)
-        rot1 = _monomial_rotate_perm(P1, amt_c[:, 1:2, :], N, Q, lane)
-        y = acc_ref[s0 : s0 + EB] + rot0 + rot1 + (2 * Q - P0 - P1)
-        out_ref[s0 : s0 + EB] = modmath.red31(y, Q)
-
-
-def fused_step_pallas(
-    accp: jnp.ndarray,
-    win: jnp.ndarray,
-    amt: jnp.ndarray,
-    *,
-    R: int,
-    Q: int,
-    B_g: int,
-    d_used: int,
-    g_shift: int,
-    block_b: int = 512,
-    interpret: bool = False,
-    rev: Optional[jnp.ndarray] = None,
-) -> jnp.ndarray:
-    """One GINX CMUX step on the permuted-layout accumulator.
-
-    accp : int32 [B, 2, N] accumulator in permute_lanes layout
-    win  : int32 [2*nt-1, 4, R*M*SPANW] this step's packed key windows
-    amt  : int32 [B, 2, TILE] lane-replicated (c_pos, a_col) in [0, 2N)
-    rev  : optional prebuilt dense blocks (build_rev_pallas) — skips build
-    Returns the new accumulator, same shape/layout.  Bit-exact equal (after
-    unpermute_lanes) to boot._external_cmux_ginx on the jnp key layout.
-
-    Implemented as FOUR small pallas_calls (build -> decompose -> matmul ->
-    epilogue) rather than one monolithic kernel: pl.when-guarded phases in a
-    single (chunks, nt) grid execute in EVERY grid cell on Mosaic (measured
-    2.05 ms/step vs the 0.16 ms/step these four kernels sum to).
-    """
-    B, _, N = accp.shape
-    nt = N // TILE
-    ndiag, nph, rmw = win.shape
-    assert ndiag == 2 * nt - 1 and nph == 4
-    M = rmw // SPANW // R
-    RT = R * TILE
-    TB = min(block_b, B)
-    while B % TB:  # pick the largest power-of-two-ish divisor <= block_b
-        TB -= 1 if TB % 2 else TB // 2
-    # VMEM budget guard for the matmul kernel (rev whole-array resident).
-    resident = ndiag * RT * M * TILE
-    per_chunk = TB * nt * RT + 2 * 4 * TB * (M // 4) * N + 4 * TB * M * TILE
-    assert resident + per_chunk <= VMEM_PARAMS.vmem_limit_bytes, (
-        f"step VMEM estimate {(resident + per_chunk) >> 20} MiB exceeds "
-        f"budget; reduce block_b (got {TB})"
-    )
-    cp = None if interpret else VMEM_PARAMS
-
-    if rev is None:
-        rev = build_rev_pallas(win, R, M, interpret)
-    rev_flat = rev.reshape(ndiag * RT, M * TILE)
-
-    digs = pl.pallas_call(
-        functools.partial(
-            _decompose_kernel, nt=nt, R=R, Q=Q, B_g=B_g, d_used=d_used,
-            g_shift=g_shift,
-        ),
-        grid=(B // TB,),
-        in_specs=[pl.BlockSpec((TB, 2, N), lambda c: (c, 0, 0), memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((TB, nt * RT), lambda c: (c, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, nt * RT), jnp.int8),
-        interpret=interpret,
-        compiler_params=cp,
-    )(accp)
-
-    pacc = pl.pallas_call(
-        functools.partial(
-            _window_matmul_perm_kernel, nt=nt, RT=RT, M=M, TB=TB, Q=Q
-        ),
-        grid=(B // TB, nt),
-        in_specs=[
-            pl.BlockSpec((TB, nt * RT), lambda c, k: (c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (ndiag * RT, M * TILE), lambda c, k: (0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (TB, M // 4, N), lambda c, k: (c, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, M // 4, N), jnp.int32),
-        interpret=interpret,
-        compiler_params=cp,
-    )(digs, rev_flat)
-
-    return pl.pallas_call(
-        functools.partial(_cmux_epilogue_perm_kernel, N=N, Q=Q, TB=TB),
-        grid=(B // TB,),
-        in_specs=[
-            pl.BlockSpec((TB, M // 4, N), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 2, N), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 2, TILE), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((TB, 2, N), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 2, N), jnp.int32),
-        interpret=interpret,
-        compiler_params=cp,
-    )(pacc, accp, amt)
-
-
 # ---------------------------------------------------------------------------
 # Round-3 production pipeline: PREBUILT true-layout diagonals.
 #
@@ -1122,6 +973,138 @@ def cmux_epilogue_true(
     )(P, acc, amt_lane)
 
 
+def _rot_step_true_kernel(
+    acc_ref, rev2_ref, amt_ref, out_ref, digs0_ref, digs1_ref,
+    *, nt, R, TB, Q, B_g, d_used, g_shift, N, b_lo,
+):
+    """ONE fully-fused GINX CMUX step in the CGGI rotated-difference form
+    (ROOFLINE §4 lever 2; golden twin: golden.blind_rotate_ginx_rot):
+
+        out = red31(acc + K_pos ⊡ dec(X^c0·acc - acc)
+                        + K_neg ⊡ dec(X^c1·acc - acc))
+
+    The per-gate monomial rotation moves BEFORE the gadget decomposition
+    (applied to the accumulator in VMEM), so the r3 pipeline's second
+    kernel — post-matmul rotation + CMUX subtraction, with its [B, 4, N]
+    HBM round-trip of the product planes — disappears entirely.  MXU work
+    is unchanged: each part contracts its own digits against its own key
+    half (2 x [TB, nt*R*T] x [span, 8*T] vs one [TB, nt*R*T] x [span, 16*T]).
+
+    acc_ref  : [TB, 2, N] int32 in [0, Q)
+    rev2_ref : [2, (2*nt-1)*R*TILE, 8*TILE] int8 per-part prebuilt
+               reversed diagonals (m = (out, limb) minor; devkeygen rev2)
+    amt_ref  : [TB, 2, TILE] int32 lane-replicated (c_pos, c_neg) in [0,2N)
+    digs*_ref: scratch int8 [TB, nt*R*TILE] (pack_digits_rows order)
+    ``b_lo`` barrel rounds skip (rotation amounts are multiples of 2N/q).
+    """
+    RT = R * TILE
+    EB = math.gcd(TB, 64)  # barrel sub-chunks (Mosaic register pressure)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (EB, 2, N), 2)
+
+    for part, dref in ((0, digs0_ref), (1, digs1_ref)):
+
+        def rot_dec_body(i, carry, dref=dref, part=part):
+            s0 = i * EB
+            A = acc_ref[pl.ds(s0, EB)]  # [EB, 2, N]
+            c = jnp.concatenate(
+                [amt_ref[pl.ds(s0, EB), part : part + 1]] * (N // TILE),
+                axis=-1,
+            )  # [EB, 1, N] broadcast over the two RLWE rows
+            cp = c & (N - 1)
+            x = A
+            for b in range(b_lo, int(np.log2(N))):
+                sh = 1 << b
+                rolled = pltpu.roll(x, sh, 2)
+                x = jnp.where((cp & sh) != 0, rolled, x)
+            wrap = (lane < cp) ^ (c >= N)
+            rot = jnp.where(wrap, jnp.where(x == 0, 0, Q - x), x)
+            d = rot - A
+            d = jnp.where(d < 0, d + Q, d)  # (X^c - 1)*acc mod Q
+            for pp in range(2):
+                planes = _decompose_lanes(d[:, pp, :], Q, B_g, d_used, g_shift)
+                for dgt, plane in enumerate(planes):
+                    rr = pp * d_used + dgt
+                    for j in range(nt):
+                        dref[
+                            pl.ds(s0, EB),
+                            j * RT + rr * TILE : j * RT + (rr + 1) * TILE,
+                        ] = plane[:, j * TILE : (j + 1) * TILE]
+            return carry
+
+        jax.lax.fori_loop(0, TB // EB, rot_dec_body, 0)
+
+    for k in range(nt):
+        res = jax.lax.dot_general(
+            digs0_ref[...],
+            rev2_ref[0, pl.ds((nt - 1 - k) * RT, nt * RT), :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ) + jax.lax.dot_general(
+            digs1_ref[...],
+            rev2_ref[1, pl.ds((nt - 1 - k) * RT, nt * RT), :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [TB, 8*TILE]; limb accumulators add BEFORE the (linear) combine
+        comb = _combine_limbs_tile(res.reshape(TB, 2, 4, TILE), Q)  # [TB,2,T]
+        y = acc_ref[:, :, pl.ds(k * TILE, TILE)] + comb  # < 2Q
+        out_ref[:, :, pl.ds(k * TILE, TILE)] = modmath.red31(y, Q)
+
+
+def rot_step_true(
+    acc, rev2, amt, Q: int, B_g: int, d_used: int, g_shift: int,
+    block_b: int = 1024, interpret: bool = False, zero_low_bits: int = 0,
+):
+    """acc int32 [B, 2, N]; rev2 int8 [2, (2*nt-1)*R*T, 8*T]; amt int32
+    [B, 2] in [0, 2N) -> new accumulator [B, 2, N].  One pallas_call per
+    CMUX step: rotate-diff + decompose + matmul + combine + add fused.
+    Bit-exact vs golden.blind_rotate_ginx_rot's step on matching keys."""
+    B, _, N = acc.shape
+    nt = N // TILE
+    R = 2 * d_used
+    RT = R * TILE
+    assert rev2.shape[0] == 2 and rev2.shape[1] == (2 * nt - 1) * RT, rev2.shape
+    MT = rev2.shape[2]
+    TB = min(block_b, B)
+    while B % TB:
+        TB -= 1 if TB % 2 else TB // 2
+    resident = 2 * rev2.shape[1] * MT  # rev2 int8
+    per_chunk = (
+        2 * 4 * TB * 2 * N  # acc in (double-buffered)
+        + 2 * TB * nt * RT  # two digit scratches
+        + 2 * 4 * TB * MT  # dot results
+        + 2 * 4 * TB * 2 * N  # out
+    )
+    assert resident + per_chunk <= VMEM_PARAMS.vmem_limit_bytes, (
+        f"rot_step_true VMEM estimate {(resident + per_chunk) >> 20} MiB "
+        f"exceeds budget (TB={TB})"
+    )
+    amt_lane = jnp.broadcast_to(amt[:, :, None], (B, 2, TILE))
+    kernel = functools.partial(
+        _rot_step_true_kernel, nt=nt, R=R, TB=TB, Q=Q, B_g=B_g,
+        d_used=d_used, g_shift=g_shift, N=N, b_lo=zero_low_bits,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, 2, N), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (2, rev2.shape[1], MT), lambda c: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((TB, 2, TILE), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TB, 2, N), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 2, N), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((TB, nt * RT), jnp.int8),
+            pltpu.VMEM((TB, nt * RT), jnp.int8),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else VMEM_PARAMS,
+    )(acc, rev2, amt_lane)
+
+
 def build_rev_true_host(perm_ext: np.ndarray, R: int, N: int) -> np.ndarray:
     """Host/NumPy reference of devkeygen's prebuilt TRUE-layout reversed
     diagonals: perm_ext int8 [RM, 2N] (r-major, m=(part,out,limb) minor)
@@ -1146,15 +1129,13 @@ def build_rev_true_host(perm_ext: np.ndarray, R: int, N: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# The rotation megakernel: ALL n CMUX steps in ONE pallas_call.
-#
-# Per-pallas-launch overhead inside lax.scan measured ~4 ms on the target
-# stack — 502 steps x 4 kernels made launch overhead 50x the compute.  Here
-# the step index is a GRID dimension: windows/amounts stream in per step via
-# BlockSpec index maps (double-buffered DMA), the accumulator lives in a
-# revisited input/output-aliased block that stays VMEM-resident for the
-# whole rotation, and each grid step runs build -> decompose -> matmul ->
-# epilogue unconditionally (no pl.when phases).
+# The AP megakernel: ALL n*d_r binary-base AP steps in ONE pallas_call.
+# (The GINX rotation megakernel that shared these phase helpers is deleted —
+# VERDICT r3 #6: superseded by the prebuilt rev/rev2 single-kernel steps.)
+# Step index is a GRID dimension: windows/bits stream in per step via
+# BlockSpec index maps (double-buffered DMA); the accumulator lives in a
+# revisited input/output-aliased block that stays VMEM-resident across the
+# whole rotation.
 # ---------------------------------------------------------------------------
 
 
@@ -1235,52 +1216,6 @@ def _matmul_body(digs_ref, rev_ref, pacc_ref, nt, R, M, TB, Q):
         )
 
 
-def _rotation_megakernel(
-    win_ref, amt_ref, accin_ref, out_ref, rev_ref, digs_ref, pacc_ref,
-    *, nt, R, M, TB, Q, B_g, d_used, g_shift, N,
-):
-    """Grid (B//TB, nsteps), step innermost.  One GINX CMUX step per cell.
-
-    win_ref  : [1, 2*nt-1, 4, R*M*SPANW] int32 — this step's packed windows
-    amt_ref  : [1, TB, 2] int32 — (c_pos, a_col) per gate, this step
-    accin_ref: [TB, 2, N] int32 — initial accumulator (HBM-aliased to out)
-    out_ref  : [TB, 2, N] int32 — the resident accumulator (read + write)
-    rev_ref  : scratch [(2*nt-1)*R*TILE, M*TILE] int8
-    digs_ref : scratch [TB, nt*R*TILE] int8
-    pacc_ref : scratch [TB, M//4, N] int32
-    """
-    # Output blocks are undefined before their first write (ADVICE r2): on
-    # the first step of each batch block, seed the resident accumulator from
-    # the input explicitly instead of relying on aliasing semantics.
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        out_ref[...] = accin_ref[...]
-
-    _build_rev_body(win_ref, rev_ref, nt, R, M)
-    _decompose_body(out_ref, digs_ref, nt, R, Q, B_g, d_used, g_shift)
-    _matmul_body(digs_ref, rev_ref, pacc_ref, nt, R, M, TB, Q)
-
-    # epilogue: permuted-space rotations + CMUX add, in sub-chunks (one big
-    # [TB,2,2,N] rotation spills the Mosaic register allocator — measured).
-    # fori_loop: the chunk body compiles once (compile-time, VERDICT r2 #1).
-    EB = math.gcd(TB, 64)  # always divides TB: no silently-dropped tail rows
-    lane = jax.lax.broadcasted_iota(jnp.int32, (EB, 2, N), 2)
-
-    def epi_body(i, carry):
-        s0 = i * EB
-        P0 = pacc_ref[pl.ds(s0, EB), 0:2, :]
-        P1 = pacc_ref[pl.ds(s0, EB), 2:4, :]
-        c0 = jnp.broadcast_to(amt_ref[0, pl.ds(s0, EB), 0:1], (EB, N))
-        c1 = jnp.broadcast_to(amt_ref[0, pl.ds(s0, EB), 1:2], (EB, N))
-        rot0 = _monomial_rotate_perm(P0, c0[:, None, :], N, Q, lane)
-        rot1 = _monomial_rotate_perm(P1, c1[:, None, :], N, Q, lane)
-        y = out_ref[pl.ds(s0, EB)] + rot0 + rot1 + (2 * Q - P0 - P1)
-        out_ref[pl.ds(s0, EB)] = modmath.red31(y, Q)
-        return carry
-
-    jax.lax.fori_loop(0, TB // EB, epi_body, 0)
-
-
 def _ap_megakernel(
     win_ref, bit_ref, accin_ref, out_ref, rev_ref, digs_ref, pacc_ref,
     *, nt, R, M, TB, Q, B_g, d_used, g_shift, N,
@@ -1300,7 +1235,7 @@ def _ap_megakernel(
     _build_rev_body(win_ref, rev_ref, nt, R, M)
     _decompose_body(out_ref, digs_ref, nt, R, Q, B_g, d_used, g_shift)
     _matmul_body(digs_ref, rev_ref, pacc_ref, nt, R, M, TB, Q)
-    EB = min(TB, 128)
+    EB = math.gcd(TB, 128)  # divisor of TB: no dropped tail rows
 
     def sel_body(i, carry):
         s0 = i * EB
@@ -1311,80 +1246,6 @@ def _ap_megakernel(
         return carry
 
     jax.lax.fori_loop(0, TB // EB, sel_body, 0)
-
-
-def blind_rotate_megakernel(
-    accp: jnp.ndarray,
-    wins: jnp.ndarray,
-    amt: jnp.ndarray,
-    *,
-    R: int,
-    Q: int,
-    B_g: int,
-    d_used: int,
-    g_shift: int,
-    block_b: int = 1024,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """The whole GINX blind rotation as one pallas_call.
-
-    accp : int32 [B, 2, N] accumulator in permute_lanes layout
-    wins : int32 [nsteps, 2*nt-1, 4, R*M*SPANW] packed key windows
-    amt  : int32 [nsteps, B, 2] per-step (c_pos, a_col) in [0, 2N)
-    Returns the rotated accumulator (permuted layout).  Bit-exact equal to
-    scanning boot._external_cmux_ginx over the steps (tests/test_pallas.py).
-    """
-    B, _, N = accp.shape
-    nsteps = wins.shape[0]
-    nt = N // TILE
-    ndiag, nph, rmw = wins.shape[1:]
-    assert ndiag == 2 * nt - 1 and nph == 4
-    M = rmw // SPANW // R
-    RT = R * TILE
-    TB = min(block_b, B)
-    while B % TB:
-        TB -= 1 if TB % 2 else TB // 2
-    resident = (
-        ndiag * RT * M * TILE  # rev
-        + TB * nt * RT  # digs
-        + 4 * TB * (M // 4) * N  # pacc
-        + 2 * 4 * TB * 2 * N  # acc block in+out windows
-        + 4 * TB * M * TILE  # dot result
-        + 2 * 4 * ndiag * nph * rmw  # win block, double buffered
-    )
-    assert resident <= VMEM_PARAMS.vmem_limit_bytes, (
-        f"megakernel VMEM estimate {resident >> 20} MiB exceeds budget; "
-        f"reduce block_b (got {TB})"
-    )
-    kernel = functools.partial(
-        _rotation_megakernel,
-        nt=nt, R=R, M=M, TB=TB, Q=Q, B_g=B_g, d_used=d_used,
-        g_shift=g_shift, N=N,
-    )
-    return pl.pallas_call(
-        kernel,
-        grid=(B // TB, nsteps),
-        in_specs=[
-            pl.BlockSpec(
-                (1, ndiag, nph, rmw), lambda c, i: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((1, TB, 2), lambda c, i: (i, c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 2, N), lambda c, i: (c, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (TB, 2, N), lambda c, i: (c, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, 2, N), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((ndiag * RT, M * TILE), jnp.int8),
-            pltpu.VMEM((TB, nt * RT), jnp.int8),
-            pltpu.VMEM((TB, M // 4, N), jnp.int32),
-        ],
-        input_output_aliases={2: 0},
-        interpret=interpret,
-        compiler_params=None if interpret else VMEM_PARAMS,
-    )(wins, amt, accp)
 
 
 def blind_rotate_ap_megakernel(

@@ -59,17 +59,20 @@ def shard_bootstrap_keys(keys: boot.DeviceBootKeys, mesh: Mesh) -> boot.DeviceBo
     from jax.sharding import NamedSharding
 
     tv = jax.device_put(keys.tv_table, NamedSharding(mesh, P()))
-    if keys.ginx_rev is not None:
+    if keys.ginx_rev is not None or keys.ginx_rev2 is not None:
         assert int(mesh.shape.get("tp", 1)) == 1, (
-            "the prebuilt ginx_rev layout shards dp-only; build the mesh "
-            "with tp=1 or pack keys with use_pallas=False (jnp layout) for "
-            "tensor parallelism"
+            "the prebuilt ginx_rev/rev2 layouts shard dp-only; build the "
+            "mesh with tp=1 or pack keys with use_pallas=False (jnp layout) "
+            "for tensor parallelism"
         )
-        rev = jax.device_put(keys.ginx_rev, NamedSharding(mesh, P()))
+        rep = lambda x: (
+            None if x is None else jax.device_put(x, NamedSharding(mesh, P()))
+        )
         ksk = jax.device_put(keys.ksk, NamedSharding(mesh, P()))
         return boot.DeviceBootKeys(
             params=keys.params, method=keys.method, ginx_kext=None,
-            ap_kext=None, ksk=ksk, tv_table=tv, ginx_rev=rev,
+            ap_kext=None, ksk=ksk, tv_table=tv,
+            ginx_rev=rep(keys.ginx_rev), ginx_rev2=rep(keys.ginx_rev2),
         )
     if keys.ginx_pallas is not None:
         gp = jax.device_put(keys.ginx_pallas, NamedSharding(mesh, P()))
@@ -103,17 +106,21 @@ def make_sharded_gate_fn(keys: boot.DeviceBootKeys, mesh: Mesh):
     method = keys.method
     tp = mesh.shape["tp"]
 
-    if keys.ginx_rev is not None:
+    if keys.ginx_rev is not None or keys.ginx_rev2 is not None:
         assert tp == 1, (
-            "the prebuilt ginx_rev layout shards dp-only; build the mesh "
-            "with tp=1 or pack keys with use_pallas=False for tensor "
+            "the prebuilt ginx_rev/rev2 layouts shard dp-only; build the "
+            "mesh with tp=1 or pack keys with use_pallas=False for tensor "
             "parallelism"
         )
+        is_rev2 = keys.ginx_rev2 is not None
+        rev_arr = keys.ginx_rev2 if is_rev2 else keys.ginx_rev
 
         def local_fn_rev(rev, ksk, tv, gids, c1, c2):
             lkeys = boot.DeviceBootKeys(
                 params=p, method=method, ginx_kext=None, ap_kext=None,
-                ksk=ksk, tv_table=tv, ginx_rev=rev,
+                ksk=ksk, tv_table=tv,
+                ginx_rev=None if is_rev2 else rev,
+                ginx_rev2=rev if is_rev2 else None,
             )
             return boot.eval_bin_gate_batch(lkeys, gids, c1, c2)
 
@@ -128,9 +135,7 @@ def make_sharded_gate_fn(keys: boot.DeviceBootKeys, mesh: Mesh):
 
         @jax.jit
         def fn_rev(gids, c1, c2):
-            return smapped_rev(
-                keys.ginx_rev, keys.ksk, keys.tv_table, gids, c1, c2
-            )
+            return smapped_rev(rev_arr, keys.ksk, keys.tv_table, gids, c1, c2)
 
         return fn_rev
 

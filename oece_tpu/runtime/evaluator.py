@@ -140,9 +140,17 @@ class Circuit:
                     if self._seed_explicit
                     else None
                 )
-                self.sk, _z, self.dkeys = devkeygen.device_keygen(
-                    self.params, seed=kg_seed
-                )
+                import os as _os
+
+                if self.method == BinFHEMethod.AP:
+                    self.sk, _z, self.dkeys = devkeygen.device_keygen_ap(
+                        self.params, seed=kg_seed
+                    )
+                else:
+                    self.sk, _z, self.dkeys = devkeygen.device_keygen(
+                        self.params, seed=kg_seed,
+                        layout=_os.environ.get("OECE_LAYOUT", "rev"),
+                    )
             else:
                 self.sk = golden.lwe_keygen(self.params, self._rng)
                 self.bk = golden.bootstrap_keygen(
@@ -162,6 +170,8 @@ class Circuit:
         self.plaintext_flag = True
         self.encrypted_flag = False
         self.verify_flag = False
+        self.recover_flag = False
+        self.recover_threshold = self.params.q // 16
 
         self._plain_arena: Optional[np.ndarray] = None  # int8 [T, n_wires+1]
         self._ct_arena = None  # jnp int32 [n_wires+1, T, n+1]
@@ -169,6 +179,9 @@ class Circuit:
         self.circuit_output: List[np.ndarray] = []
         self.gate_counts: Dict[str, int] = {}
         self.bad_gate_counts: Dict[str, int] = {}
+        self.recover_counts: Dict[str, int] = {}
+        self.max_phase_err = 0
+        self._rec_dev = None
         self.manager_time = 0.0
         self.exec_time = 0.0
         self._done = False
@@ -214,7 +227,12 @@ class Circuit:
 
         if _os.environ.get("OECE_HOST_KEYGEN") == "1":
             return False
-        if self.method != BinFHEMethod.GINX or self.params.N % 128 != 0:
+        if self.params.N % 128 != 0:
+            return False
+        if self.method == BinFHEMethod.AP:
+            if self.params.B_r != 2:  # device AP keygen is binary-base only
+                return False
+        elif self.method != BinFHEMethod.GINX:
             return False
         if mesh is not None and mesh.shape.get("tp", 1) > 1:
             return False
@@ -287,6 +305,35 @@ class Circuit:
             self.plaintext_flag = True
             self.encrypted_flag = True
 
+    def setRecovery(self, flag: bool, threshold: Optional[int] = None) -> None:
+        """PURE-ENCRYPTED-MODE failure recovery (VERDICT r3 #7).
+
+        The reference's analogue is the AND-gate try/catch that decrypts
+        both inputs with the secret key, re-encrypts them fresh, and retries
+        (gate.cpp:131-152) — a secret-key-using repair that runs WITHOUT the
+        plaintext model.  Here the same trust model is used proactively:
+        after each level, every bootstrap output's PHASE MARGIN is measured
+        on device (decrypt with the resident secret, center the phase error
+        against the decoded bit); outputs whose |error| exceeds ``threshold``
+        (default q/16 — halfway to the q/8 decision boundary) are
+        re-encrypted fresh from their decoded bit.  Per-op suspect counts
+        and the worst observed margin accumulate on device and surface in
+        ``recover_counts`` / ``max_phase_err`` — bad-gate statistics that do
+        not require verify mode.
+
+        Limitation (shared with the reference): an already-flipped bit
+        (|error| >= q/8) decodes wrong and is repaired to the WRONG value;
+        no mechanism can detect that without the plaintext model.  The
+        threshold catches the drifting-but-not-yet-flipped population,
+        which is the only recoverable one.
+        """
+        self.recover_flag = bool(flag)
+        if flag:
+            self.encrypted_flag = True
+        self.recover_threshold = (
+            int(threshold) if threshold is not None else self.params.q // 16
+        )
+
     # -- Reset (circuit.cpp:368-419 parity) ---------------------------------
     def Reset(self) -> None:
         self._plain_arena = None
@@ -304,6 +351,12 @@ class Circuit:
         self.trace: Optional[Trace] = None
         self._bootstraps_run = 0
         self._bad_dev = None  # device per-op bad-gate accumulator (verify)
+        # encrypted-mode recovery stats (setRecovery): per-op re-encryption
+        # counts ("HARD" = provable failures: phase outside every valid
+        # decode window) and the worst phase margin seen this Clock().
+        self.recover_counts: Dict[str, int] = {}
+        self.max_phase_err = 0
+        self._rec_dev = None  # device (counts [2, _N_OPS], max_err) accum
 
     # -- SetInput (circuit.cpp:455-530 parity) ------------------------------
     def SetInput(self, inputs: Sequence[np.ndarray], verbose: bool = False) -> None:
@@ -396,12 +449,25 @@ class Circuit:
             from . import checkpoint as ckpt_mod
 
             start_lv = ckpt_mod.maybe_resume(self, checkpoint_path)
+        # Dispatch through the relay is asynchronous (execution is lazy until
+        # a host fetch); a periodic 4-byte fetch bounds the in-flight queue
+        # so thousands of levels cannot pile up in the tunnel.
+        import os as _os
+
+        sync_every = int(_os.environ.get("OECE_SYNC_EVERY", "128"))
         for lv, level in enumerate(self.plan.levels):
             if lv < start_lv:
                 continue
             t0 = time.time()
             b0 = self._bootstraps_run
             self._run_level(level)
+            if (
+                self.encrypted_flag
+                and sync_every > 0
+                and (lv + 1) % sync_every == 0
+                and self._ct_arena is not None
+            ):
+                np.asarray(self._ct_arena[-1, 0, :1])  # tiny sync barrier
             dt = time.time() - t0
             self.exec_time += dt
             self.trace.add(
@@ -438,6 +504,7 @@ class Circuit:
             if _os.path.exists(checkpoint_path):
                 _os.remove(checkpoint_path)
         self._flush_bad_dev()
+        self._flush_rec_dev()
         self._collect_outputs()
         nl = self.netlist
         if nl.n_dff:  # latch D -> state; circuit stays clockable (sequential)
@@ -537,7 +604,44 @@ class Circuit:
 
         if self.verify_flag:
             out = self._verify_fix(ops, outw, out)
+        elif self.recover_flag:
+            out = self._recover_fix(ops, out)
         self._ct_arena = arena.at[outw].set(out)
+
+    def _recover_fix(self, ops, out):
+        """setRecovery eager path: margin-measure + re-encrypt suspects
+        (host backend; the fused level fn handles the TPU path)."""
+        import jax.numpy as jnp
+
+        q = self.params.q
+        W, T = out.shape[0], self._batch
+        cts = np.asarray(out).reshape(W * T, -1)
+        phase = (cts[:, -1] - cts[:, :-1] @ self.sk.s) % q
+        bitn = (((phase - q // 8) % q) < (q // 2)).astype(np.int64)
+        err = (phase - bitn * (q // 4) + q // 2) % q - q // 2
+        aerr = np.abs(err).reshape(W, T)
+        self.max_phase_err = max(
+            self.max_phase_err, int(aerr.max()) if aerr.size else 0
+        )
+        suspect = aerr >= self.recover_threshold
+        nhard = int((aerr >= q // 8).sum())
+        if nhard:
+            self.recover_counts["HARD"] = (
+                self.recover_counts.get("HARD", 0) + nhard
+            )
+        if np.any(suspect):
+            for o in np.unique(ops):
+                cnt = int(suspect[ops == o].sum())
+                if cnt:
+                    name = Op(int(o)).name
+                    self.recover_counts[name] = (
+                        self.recover_counts.get(name, 0) + cnt
+                    )
+            fixed = lwe.encrypt_bits(self.sk, bitn, self._rng).reshape(W, T, -1)
+            out = jnp.where(
+                jnp.asarray(suspect)[:, :, None], jnp.asarray(fixed), out
+            )
+        return out
 
     def _run_level_boot_fused(self, ops, gate_ids, in0, in1, outw) -> None:
         """TPU path: evaluate a level's bootstrap gates as ONE fused jitted
@@ -575,6 +679,7 @@ class Circuit:
             ov = np.zeros(Wpad, np.int32)
             ov[:w] = ops[sl]
             want = np.zeros((Wpad, T), np.int32)
+            recover = self.recover_flag and not self.verify_flag
             if self.verify_flag:
                 want[:w] = self._plain_arena[:, outw[sl]].T
                 key = self._next_key()
@@ -582,16 +687,29 @@ class Circuit:
                     self._bad_dev = jnp.zeros((_N_OPS,), jnp.int32)
                 bad = self._bad_dev
             else:
-                key = self._zero_key()
+                key = self._next_key() if recover else self._zero_key()
                 bad = jnp.zeros((_N_OPS,), jnp.int32)
-            fn = _fused_level_fn(T, Wpad, self.verify_flag, p.n, p.q)
-            self._ct_arena, bad = fn(
+            if recover and self._rec_dev is None:
+                self._rec_dev = (
+                    jnp.zeros((2, _N_OPS), jnp.int32), jnp.zeros((), jnp.int32)
+                )
+            rc, rm = self._rec_dev if self._rec_dev is not None else (
+                jnp.zeros((2, _N_OPS), jnp.int32), jnp.zeros((), jnp.int32)
+            )
+            fn = _fused_level_fn(
+                T, Wpad, self.verify_flag, p.n, p.q, recover,
+                self.recover_threshold,
+            )
+            self._ct_arena, bad, rc, rm = fn(
                 self.dkeys, self._s_dev(), self._ct_arena,
                 jnp.asarray(i0), jnp.asarray(i1), jnp.asarray(ow),
-                jnp.asarray(gg), jnp.asarray(ov), jnp.asarray(want), key, bad,
+                jnp.asarray(gg), jnp.asarray(ov), jnp.asarray(want), key,
+                bad, rc, rm,
             )
             if self.verify_flag:
                 self._bad_dev = bad
+            if recover:
+                self._rec_dev = (rc, rm)
             self._bootstraps_run += w * T
 
     def _zero_key(self):
@@ -645,6 +763,8 @@ class Circuit:
         out = out.reshape(W, T, -1)
         if self.verify_flag:
             out = self._verify_fix(ops, outw, out)
+        elif self.recover_flag:
+            out = self._recover_fix(ops, out)
         self._ct_arena = arena.at[outw].set(out)
         for o in ops:  # extra bootstrap accounting for the rewrite
             self.gate_counts["XOR_BOOTSTRAPS"] = (
@@ -708,6 +828,27 @@ class Circuit:
                 counts[o]
             )
             print(f"Bad {name} fixing (x{int(counts[o])})")
+
+    def _flush_rec_dev(self) -> None:
+        """Fetch the device recovery accumulators (one tiny transfer)."""
+        if getattr(self, "_rec_dev", None) is None:
+            return
+        cnts, mx = self._rec_dev
+        cnts = np.asarray(cnts)
+        self.max_phase_err = max(self.max_phase_err, int(np.asarray(mx)))
+        self._rec_dev = None
+        for o in np.nonzero(cnts[0])[0]:
+            name = Op(int(o)).name
+            self.recover_counts[name] = self.recover_counts.get(name, 0) + int(
+                cnts[0, o]
+            )
+        nhard = int(cnts[1].sum())
+        if nhard:
+            self.recover_counts["HARD"] = (
+                self.recover_counts.get("HARD", 0) + nhard
+            )
+        if self.recover_counts:
+            print(f"recovery: re-encrypted {self.recover_counts}")
 
     def _run_level_linear(self, level: dict) -> None:
         ops, in0, outw = level["lin_op"], level["lin_in0"], level["lin_out"]
@@ -875,33 +1016,57 @@ def _jit_gate_batch(dkeys, gids, c1, c2):
 
 
 @functools.lru_cache(maxsize=None)
-def _fused_level_fn(T: int, Wpad: int, verify: bool, n: int, q: int):
+def _fused_level_fn(
+    T: int, Wpad: int, verify: bool, n: int, q: int,
+    recover: bool = False, thresh: int = 0,
+):
     """Jitted fused level program (see Circuit._run_level_boot_fused).
 
-    fn(dkeys, s_dev, arena, in0, in1, outw, gids, opsv, want, key, bad_acc)
-      -> (arena', bad_acc')
+    fn(dkeys, s_dev, arena, in0, in1, outw, gids, opsv, want, key,
+       bad_acc, rec_cnts, rec_max)
+      -> (arena', bad_acc', rec_cnts', rec_max')
 
     arena is DONATED (the [n_wires, T, n+1] ciphertext arena updates in
-    place on device — no per-level copy)."""
+    place on device — no per-level copy).  ``recover`` applies the
+    margin-based re-encryption of setRecovery (pure encrypted mode)."""
     import jax
     import jax.numpy as jnp
 
-    def fn(dkeys, s_dev, arena, in0, in1, outw, gids, opsv, want, key, bad_acc):
+    def fn(dkeys, s_dev, arena, in0, in1, outw, gids, opsv, want, key,
+           bad_acc, rec_cnts, rec_max):
         c1 = arena[in0].reshape(Wpad * T, n + 1)
         c2 = arena[in1].reshape(Wpad * T, n + 1)
         g = jnp.repeat(gids, T)
         out = boot.eval_bin_gate_batch(dkeys, g, c1, c2).reshape(Wpad, T, n + 1)
+        valid = (outw < arena.shape[0] - 1)[:, None]  # mask padded lanes
         if verify:
             got = lwe.decrypt_bits_dev(s_dev, out, q)  # [Wpad, T]
-            valid = (outw < arena.shape[0] - 1)[:, None]  # mask padded lanes
             bad = (got != want) & valid
             fixed = lwe.encrypt_bits_dev(
                 s_dev, want.reshape(-1), key, dkeys.params
             ).reshape(Wpad, T, n + 1)
             out = jnp.where(bad[:, :, None], fixed, out)
             bad_acc = bad_acc.at[opsv].add(bad.sum(axis=1).astype(jnp.int32))
+        elif recover:
+            bitn, err = lwe.phase_margin_dev(s_dev, out, q)
+            aerr = jnp.abs(err)
+            suspect = (aerr >= thresh) & valid
+            hard = (aerr >= q // 8) & valid
+            fixed = lwe.encrypt_bits_dev(
+                s_dev, bitn.reshape(-1), key, dkeys.params
+            ).reshape(Wpad, T, n + 1)
+            out = jnp.where(suspect[:, :, None], fixed, out)
+            rec_cnts = rec_cnts.at[0, opsv].add(
+                suspect.sum(axis=1).astype(jnp.int32)
+            )
+            rec_cnts = rec_cnts.at[1, opsv].add(
+                hard.sum(axis=1).astype(jnp.int32)
+            )
+            rec_max = jnp.maximum(
+                rec_max, jnp.max(jnp.where(valid, aerr, 0)).astype(jnp.int32)
+            )
         arena = arena.at[outw].set(out)
-        return arena, bad_acc
+        return arena, bad_acc, rec_cnts, rec_max
 
     return jax.jit(fn, donate_argnums=(2,))
 

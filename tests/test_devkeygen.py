@@ -188,3 +188,40 @@ def test_prebuilt_step_bitexact_vs_jnp(monkeypatch):
         )
         np.testing.assert_array_equal(got, want)
         acc = got  # chain
+
+
+def test_device_keygen_ap_end_to_end(monkeypatch):
+    """Binary-base AP keys generated ON DEVICE evaluate all 6 gates
+    correctly through the AP megakernel (VERDICT r3 #5)."""
+    import dataclasses
+
+    monkeypatch.setattr(boot, "PALLAS_INTERPRET", True)
+    p = dataclasses.replace(MICRO_A, name="MICRO_AP2", B_r=2)
+    sk, z, dkeys = devkeygen.device_keygen_ap(p, seed=7)
+    assert dkeys.ap_pallas is not None and dkeys.method.name == "AP"
+    rng = np.random.default_rng(8)
+    B = 12
+    m1 = rng.integers(0, 2, B)
+    m2 = rng.integers(0, 2, B)
+    gids = np.arange(B, dtype=np.int32) % 6
+    c1 = jnp.asarray(lwe.encrypt_bits(sk, m1, rng))
+    c2 = jnp.asarray(lwe.encrypt_bits(sk, m2, rng))
+    out = np.asarray(boot.eval_bin_gate_batch(dkeys, jnp.asarray(gids), c1, c2))
+    truth = [
+        lambda a, b: a & b, lambda a, b: a | b, lambda a, b: 1 - (a & b),
+        lambda a, b: 1 - (a | b), lambda a, b: a ^ b, lambda a, b: 1 - (a ^ b),
+    ]
+    want = np.array([truth[g](int(a), int(b)) for g, a, b in zip(gids, m1, m2)])
+    np.testing.assert_array_equal(lwe.decrypt_bits(sk, out), want)
+
+
+def test_device_keygen_ap_shares_secrets_with_ginx():
+    """Same seed => same LWE secret and key-switch key across methods
+    (the AP and GINX keygens split the PRF identically)."""
+    import dataclasses
+
+    p = dataclasses.replace(MICRO_A, name="MICRO_AP2", B_r=2)
+    sk_g, _, dk_g = devkeygen.device_keygen(p, seed=13)
+    sk_a, _, dk_a = devkeygen.device_keygen_ap(p, seed=13)
+    np.testing.assert_array_equal(sk_g.s, sk_a.s)
+    np.testing.assert_array_equal(np.asarray(dk_g.ksk), np.asarray(dk_a.ksk))

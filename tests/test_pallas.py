@@ -150,84 +150,6 @@ def test_permute_lanes_roundtrip():
     assert y[1, 1, 128 + 32 * 3 + 31] == np.asarray(x)[1, 1, 128 + 4 * 31 + 3]
 
 
-@pytest.mark.parametrize("params_name", ["MICRO", "MICRO_A"])
-def test_fused_step_matches_jnp_interpret(params_name):
-    """fused_step_pallas == _external_cmux_ginx (jnp gather path), bit-exact,
-    for both the exact (MICRO) and approximate (MICRO_A) gadget."""
-    from oece_tpu.fhe import boot, golden
-    from oece_tpu.fhe.params import PARAM_SETS, BinFHEMethod
-
-    p = PARAM_SETS[params_name]
-    rng = np.random.default_rng(7)
-    sk = golden.lwe_keygen(p, rng)
-    bk = golden.bootstrap_keygen(p, sk, rng, BinFHEMethod.GINX)
-    dk_jnp = boot.pack_bootstrap_key(bk, use_pallas=False)
-    dk_pal = boot.pack_bootstrap_key(bk, use_pallas=True)
-    N, Q = p.N, p.Q
-    B = 8
-    acc = jnp.asarray(rng.integers(0, Q, (B, 2, N)).astype(np.int32))
-    a_col = jnp.asarray(rng.integers(0, 2 * N, (B,)).astype(np.int32))
-    i = jnp.arange(N, dtype=jnp.int32)
-    idx2n = (i[None, :] - i[:, None]) & (2 * N - 1)
-    for step in (0, 3):
-        want = np.asarray(
-            boot._external_cmux_ginx(acc, a_col, dk_jnp.ginx_kext[step], idx2n, p)
-        )
-        accp = pk.permute_lanes(acc)
-        c_pos = (2 * N - a_col) & (2 * N - 1)
-        amt = jnp.broadcast_to(
-            jnp.stack([c_pos, a_col], axis=1)[:, :, None], (B, 2, pk.TILE)
-        )
-        got = pk.fused_step_pallas(
-            accp, dk_pal.ginx_pallas[step], amt,
-            R=2 * p.d_g_used, Q=Q, B_g=p.B_g, d_used=p.d_g_used,
-            g_shift=p.g_shift, block_b=4, interpret=True,
-        )
-        got = np.asarray(pk.unpermute_lanes(got))
-        assert np.array_equal(got, want), (params_name, step)
-
-
-def test_fused_blind_rotate_matches_jnp_interpret():
-    """Whole fused scan (permute once, n fused steps, unpermute) == the jnp
-    scan, at MICRO_A."""
-    from oece_tpu.fhe import boot, golden
-    from oece_tpu.fhe.params import MICRO_A, BinFHEMethod
-
-    p = MICRO_A
-    rng = np.random.default_rng(8)
-    sk = golden.lwe_keygen(p, rng)
-    bk = golden.bootstrap_keygen(p, sk, rng, BinFHEMethod.GINX)
-    dk_jnp = boot.pack_bootstrap_key(bk, use_pallas=False)
-    dk_pal = boot.pack_bootstrap_key(bk, use_pallas=True)
-    B = 4
-    acc = jnp.asarray(rng.integers(0, p.Q, (B, 2, p.N)).astype(np.int32))
-    a2N = jnp.asarray(rng.integers(0, 2 * p.N, (B, p.n)).astype(np.int32))
-    want = np.asarray(boot.blind_rotate_ginx_dev(acc, a2N, dk_jnp))
-    got = np.asarray(boot._blind_rotate_fused(acc, a2N, dk_pal, interpret=True))
-    assert np.array_equal(got, want)
-
-
-@pytest.mark.parametrize("params_name", ["MICRO", "MICRO_A"])
-def test_rotation_megakernel_matches_jnp_interpret(params_name):
-    """blind_rotate_megakernel (whole rotation, one pallas_call) == the jnp
-    gather scan, bit-exact, exact and approximate gadgets."""
-    from oece_tpu.fhe import boot, golden
-    from oece_tpu.fhe.params import PARAM_SETS, BinFHEMethod
-
-    p = PARAM_SETS[params_name]
-    rng = np.random.default_rng(9)
-    sk = golden.lwe_keygen(p, rng)
-    bk = golden.bootstrap_keygen(p, sk, rng, BinFHEMethod.GINX)
-    dk_jnp = boot.pack_bootstrap_key(bk, use_pallas=False)
-    dk_pal = boot.pack_bootstrap_key(bk, use_pallas=True)
-    B = 4
-    acc = jnp.asarray(rng.integers(0, p.Q, (B, 2, p.N)).astype(np.int32))
-    a2N = jnp.asarray(rng.integers(0, 2 * p.N, (B, p.n)).astype(np.int32))
-    want = np.asarray(boot.blind_rotate_ginx_dev(acc, a2N, dk_jnp))
-    got = np.asarray(boot._blind_rotate_fused(acc, a2N, dk_pal, interpret=True))
-    assert np.array_equal(got, want)
-
-
 def test_ap_megakernel_matches_golden_interpret():
     """Binary-base AP megakernel == golden AP bootstrap, bit-exact."""
     import dataclasses

@@ -68,7 +68,9 @@ def main():
     if c._use_device_keygen(None):
         from oece_tpu.fhe import devkeygen
 
-        c.sk, _z, c.dkeys = devkeygen.device_keygen(params, seed=0)
+        c.sk, _z, c.dkeys = devkeygen.device_keygen(
+            params, seed=0, layout=os.environ.get("OECE_LAYOUT", "rev")
+        )
     else:
         # CPU/golden path: cached host keys (keygen is minutes at STD128)
         c.sk, c.bk = keycache.load_or_generate(params, method, 0)
