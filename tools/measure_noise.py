@@ -49,10 +49,14 @@ def main():
     p = PARAM_SETS[name]
     q, n = p.q, p.n
     rng = np.random.default_rng(123)
+    layout = os.environ.get("OECE_LAYOUT", "rev")
     if jax.default_backend() not in ("cpu",):
         from oece_tpu.fhe import devkeygen
 
-        sk, _z, dkeys = devkeygen.device_keygen(p, seed=0)  # no key upload
+        # no key upload; OECE_LAYOUT=rev2 measures the rotated-difference
+        # step form (slightly lower noise: no (X^c - 1) amplification of
+        # the decomposition rounding term)
+        sk, _z, dkeys = devkeygen.device_keygen(p, seed=0, layout=layout)
     else:
         sk, bk = keycache.load_or_generate(p, BinFHEMethod.GINX, 0)
         dkeys = boot.pack_bootstrap_key(bk)
@@ -63,33 +67,37 @@ def main():
         a, o, x = m1 & m2, m1 | m2, m1 ^ m2
         return jnp.stack([a, o, 1 - a, 1 - o, x, 1 - x], axis=0)  # [6, B]
 
-    def step(carry, key):
-        c1, c2, m1, m2, hist, nfail, maxabs = carry
-        gids = jax.random.randint(key, (B,), 0, 6, jnp.int32)
-        out = boot.eval_bin_gate_batch(dkeys, gids, c1, c2)
-        want = jnp.take_along_axis(
-            truth_all(m1, m2), gids[None, :], axis=0
-        )[0]
-        # centered phase error of out vs want (lwe.decrypt_noise semantics:
-        # bits encode at bit*q/4, err = center(phase - want*q/4))
-        phase = (out[:, n] - jnp.einsum("bi,i->b", out[:, :n], s_dev)) % q
-        err = (phase - want * (q // 4)) % q
-        err = jnp.where(err > q // 2, err - q, err)
-        fail = jnp.abs(err) >= q // 8
-        hist = hist + jnp.bincount((err + q // 2) % q, length=q)
-        carry = (
-            out,
-            jnp.roll(c1, 1, axis=0),
-            want,
-            jnp.roll(m1, 1),
-            hist,
-            nfail + jnp.sum(fail),
-            jnp.maximum(maxabs, jnp.max(jnp.abs(err))),
-        )
-        return carry, None
-
     @jax.jit
-    def run_chunk(carry, key):
+    def run_chunk(dkeys, carry, key):
+        # dkeys pass as a jit ARGUMENT: closure capture would bake the
+        # ~8 GB device key into the lowered program as constants and embed
+        # it in the remote-compile request (measured: 7.9 GB captured,
+        # compile never returns through the relay).
+        def step(carry, key):
+            c1, c2, m1, m2, hist, nfail, maxabs = carry
+            gids = jax.random.randint(key, (B,), 0, 6, jnp.int32)
+            out = boot.eval_bin_gate_batch(dkeys, gids, c1, c2)
+            want = jnp.take_along_axis(
+                truth_all(m1, m2), gids[None, :], axis=0
+            )[0]
+            # centered phase error of out vs want (lwe.decrypt_noise
+            # semantics: bits encode at bit*q/4, err = center(phase - want*q/4))
+            phase = (out[:, n] - jnp.einsum("bi,i->b", out[:, :n], s_dev)) % q
+            err = (phase - want * (q // 4)) % q
+            err = jnp.where(err > q // 2, err - q, err)
+            fail = jnp.abs(err) >= q // 8
+            hist = hist + jnp.bincount((err + q // 2) % q, length=q)
+            carry = (
+                out,
+                jnp.roll(c1, 1, axis=0),
+                want,
+                jnp.roll(m1, 1),
+                hist,
+                nfail + jnp.sum(fail),
+                jnp.maximum(maxabs, jnp.max(jnp.abs(err))),
+            )
+            return carry, None
+
         keys = jax.random.split(key, CHUNK)
         return jax.lax.scan(step, carry, keys)[0]
 
@@ -112,7 +120,7 @@ def main():
     n_tot = 0
     hist = None
     for it in range(0, n_iters, CHUNK):
-        carry = run_chunk(carry, jax.random.PRNGKey(1000 + it))
+        carry = run_chunk(dkeys, carry, jax.random.PRNGKey(1000 + it))
         n_tot += CHUNK * B
         if it + CHUNK >= n_iters or (it // CHUNK) % 10 == 9:
             hist = np.asarray(carry[4])  # fetch = barrier
@@ -132,6 +140,7 @@ def main():
     res = {
         "set": name,
         "method": "GINX",
+        "layout": layout,
         "d_g_eff": p.d_g_eff,
         "backend": jax.default_backend(),
         "bootstraps": n_tot,
