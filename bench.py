@@ -114,7 +114,7 @@ def run_tier(tier: str) -> None:
         lambda a, b: 1 - (a | b), lambda a, b: a ^ b, lambda a, b: 1 - (a ^ b),
     ]
     rng = np.random.default_rng(1)
-    B = 1024 if on_accel else 64
+    B = int(os.environ.get("OECE_BENCH_B", "1024" if on_accel else "64"))
     K = 10 if on_accel else 3  # chained batches
     m1 = rng.integers(0, 2, B)
     m2 = rng.integers(0, 2, B)

@@ -234,15 +234,22 @@ def _keygen_jit(params: BinFHEParams, seed_words, layout: str = "rev"):
     # ---- pack for the Pallas kernels ---------------------------------------
     kext = _ext_limb_planes(brk, Q)  # [n, parts, rows, out, L, 2N]
     if layout == "rev2":
-        # Per-part diagonals for the rotated-difference step kernel
-        # (pk.rot_step_true): rows r-major, m = (out, limb) minor, parts as
-        # a leading axis — each part contracts against its own key half.
+        # Diagonals for the rotated-difference step kernel
+        # (pk.rot_step_true): rows r-major, m = (out, limb) minor, with the
+        # two secret PARTS interleaved at the window-block level — row
+        # (d', p, r, u) sits at d'*2RT + p*RT + r*TILE + u — so each output
+        # tile contracts BOTH parts' digits in ONE [TB, nt*2RT] x
+        # [nt*2RT, 8*TILE] MXU dot (no per-part dot pair).
         M8 = 2 * modmath.N_LIMBS
-        perm2 = jnp.transpose(kext, (0, 1, 2, 3, 4, 5)).reshape(
-            n * 2, 2 * d * M8, 2 * N
-        )
-        rev = _build_rev_true(perm2.astype(jnp.int8), 2 * d, N).reshape(
-            n, 2, -1, M8 * TILE
+        R = 2 * d
+        perm2 = kext.reshape(n * 2, R * M8, 2 * N)
+        rev_p = _build_rev_true(perm2.astype(jnp.int8), R, N)
+        nt = N // TILE
+        ndiag = 2 * nt - 1
+        rev = (
+            rev_p.reshape(n, 2, ndiag, R * TILE, M8 * TILE)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(n, ndiag * 2 * R * TILE, M8 * TILE)
         )
     else:
         RM = 2 * d * 2 * 2 * modmath.N_LIMBS

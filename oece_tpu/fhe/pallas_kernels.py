@@ -974,7 +974,7 @@ def cmux_epilogue_true(
 
 
 def _rot_step_true_kernel(
-    acc_ref, rev2_ref, amt_ref, out_ref, digs0_ref, digs1_ref,
+    acc_ref, rev2_ref, amt_ref, out_ref, digs_ref,
     *, nt, R, TB, Q, B_g, d_used, g_shift, N, b_lo,
 ):
     """ONE fully-fused GINX CMUX step in the CGGI rotated-difference form
@@ -987,23 +987,25 @@ def _rot_step_true_kernel(
     (applied to the accumulator in VMEM), so the r3 pipeline's second
     kernel — post-matmul rotation + CMUX subtraction, with its [B, 4, N]
     HBM round-trip of the product planes — disappears entirely.  MXU work
-    is unchanged: each part contracts its own digits against its own key
-    half (2 x [TB, nt*R*T] x [span, 8*T] vs one [TB, nt*R*T] x [span, 16*T]).
+    is unchanged, issued as ONE [TB, nt*2RT] x [nt*2RT, 8*T] dot per
+    output tile: the two secret parts' digits interleave at the
+    window-block level, matching devkeygen's interleaved rev2 rows.
 
     acc_ref  : [TB, 2, N] int32 in [0, Q)
-    rev2_ref : [2, (2*nt-1)*R*TILE, 8*TILE] int8 per-part prebuilt
-               reversed diagonals (m = (out, limb) minor; devkeygen rev2)
+    rev2_ref : [(2*nt-1)*2*R*TILE, 8*TILE] int8 part-interleaved prebuilt
+               reversed diagonals (row (d',p,r,u) at d'*2RT+p*RT+r*T+u)
     amt_ref  : [TB, 2, TILE] int32 lane-replicated (c_pos, c_neg) in [0,2N)
-    digs*_ref: scratch int8 [TB, nt*R*TILE] (pack_digits_rows order)
+    digs_ref : scratch int8 [TB, nt*2*R*TILE]
     ``b_lo`` barrel rounds skip (rotation amounts are multiples of 2N/q).
     """
     RT = R * TILE
+    RT2 = 2 * RT
     EB = math.gcd(TB, 64)  # barrel sub-chunks (Mosaic register pressure)
     lane = jax.lax.broadcasted_iota(jnp.int32, (EB, 2, N), 2)
 
-    for part, dref in ((0, digs0_ref), (1, digs1_ref)):
+    for part in (0, 1):
 
-        def rot_dec_body(i, carry, dref=dref, part=part):
+        def rot_dec_body(i, carry, part=part):
             s0 = i * EB
             A = acc_ref[pl.ds(s0, EB)]  # [EB, 2, N]
             c = jnp.concatenate(
@@ -1025,26 +1027,21 @@ def _rot_step_true_kernel(
                 for dgt, plane in enumerate(planes):
                     rr = pp * d_used + dgt
                     for j in range(nt):
-                        dref[
-                            pl.ds(s0, EB),
-                            j * RT + rr * TILE : j * RT + (rr + 1) * TILE,
-                        ] = plane[:, j * TILE : (j + 1) * TILE]
+                        col = j * RT2 + part * RT + rr * TILE
+                        digs_ref[pl.ds(s0, EB), col : col + TILE] = (
+                            plane[:, j * TILE : (j + 1) * TILE]
+                        )
             return carry
 
         jax.lax.fori_loop(0, TB // EB, rot_dec_body, 0)
 
     for k in range(nt):
         res = jax.lax.dot_general(
-            digs0_ref[...],
-            rev2_ref[0, pl.ds((nt - 1 - k) * RT, nt * RT), :],
+            digs_ref[...],
+            rev2_ref[pl.ds((nt - 1 - k) * RT2, nt * RT2), :],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
-        ) + jax.lax.dot_general(
-            digs1_ref[...],
-            rev2_ref[1, pl.ds((nt - 1 - k) * RT, nt * RT), :],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )  # [TB, 8*TILE]; limb accumulators add BEFORE the (linear) combine
+        )  # [TB, 8*TILE]; both parts' limb accumulators sum in the dot
         comb = _combine_limbs_tile(res.reshape(TB, 2, 4, TILE), Q)  # [TB,2,T]
         y = acc_ref[:, :, pl.ds(k * TILE, TILE)] + comb  # < 2Q
         out_ref[:, :, pl.ds(k * TILE, TILE)] = modmath.red31(y, Q)
@@ -1054,23 +1051,24 @@ def rot_step_true(
     acc, rev2, amt, Q: int, B_g: int, d_used: int, g_shift: int,
     block_b: int = 1024, interpret: bool = False, zero_low_bits: int = 0,
 ):
-    """acc int32 [B, 2, N]; rev2 int8 [2, (2*nt-1)*R*T, 8*T]; amt int32
-    [B, 2] in [0, 2N) -> new accumulator [B, 2, N].  One pallas_call per
-    CMUX step: rotate-diff + decompose + matmul + combine + add fused.
+    """acc int32 [B, 2, N]; rev2 int8 [(2*nt-1)*2*R*T, 8*T]
+    (part-interleaved, devkeygen layout "rev2"); amt int32 [B, 2] in
+    [0, 2N) -> new accumulator [B, 2, N].  One pallas_call per CMUX step:
+    rotate-diff + decompose + matmul + combine + add fused.
     Bit-exact vs golden.blind_rotate_ginx_rot's step on matching keys."""
     B, _, N = acc.shape
     nt = N // TILE
     R = 2 * d_used
-    RT = R * TILE
-    assert rev2.shape[0] == 2 and rev2.shape[1] == (2 * nt - 1) * RT, rev2.shape
-    MT = rev2.shape[2]
+    RT2 = 2 * R * TILE
+    assert rev2.shape[0] == (2 * nt - 1) * RT2, (rev2.shape, RT2)
+    MT = rev2.shape[1]
     TB = min(block_b, B)
     while B % TB:
         TB -= 1 if TB % 2 else TB // 2
-    resident = 2 * rev2.shape[1] * MT  # rev2 int8
+    resident = rev2.shape[0] * MT  # rev2 int8
     per_chunk = (
         2 * 4 * TB * 2 * N  # acc in (double-buffered)
-        + 2 * TB * nt * RT  # two digit scratches
+        + TB * nt * RT2  # digit scratch
         + 2 * 4 * TB * MT  # dot results
         + 2 * 4 * TB * 2 * N  # out
     )
@@ -1089,7 +1087,7 @@ def rot_step_true(
         in_specs=[
             pl.BlockSpec((TB, 2, N), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (2, rev2.shape[1], MT), lambda c: (0, 0, 0),
+                (rev2.shape[0], MT), lambda c: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((TB, 2, TILE), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
@@ -1097,8 +1095,7 @@ def rot_step_true(
         out_specs=pl.BlockSpec((TB, 2, N), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 2, N), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((TB, nt * RT), jnp.int8),
-            pltpu.VMEM((TB, nt * RT), jnp.int8),
+            pltpu.VMEM((TB, nt * RT2), jnp.int8),
         ],
         interpret=interpret,
         compiler_params=None if interpret else VMEM_PARAMS,

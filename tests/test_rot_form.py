@@ -38,14 +38,23 @@ def _golden_rot_step(p, acc, ai, brk_pos_i, brk_neg_i):
 
 
 def _rev2_from_brk(p, brk_pos_i, brk_neg_i):
-    """Per-part true-layout diagonals for one step from golden key rows."""
+    """Part-interleaved true-layout diagonals for one step from golden key
+    rows (devkeygen rev2 layout: row (d', p, r, u) at d'*2RT+p*RT+r*T+u)."""
     Q, N = p.Q, p.N
     R = 2 * p.d_g_used
+    T = pk.TILE
+    nt = N // T
     brk = np.stack([brk_pos_i, brk_neg_i])  # [2, rows, out, N]
     kext = boot._poly_ext_limbs(brk, Q)  # [2, rows, out, L, 2N]
     perm = kext.reshape(2, -1, 2 * N)  # rows r-major, m=(out,limb) minor
+    rev_p = np.stack(
+        [pk.build_rev_true_host(perm[part], R, N) for part in (0, 1)]
+    )  # [2, ndiag*R*T, MT]
+    MT = rev_p.shape[-1]
     return jnp.asarray(
-        np.stack([pk.build_rev_true_host(perm[part], R, N) for part in (0, 1)])
+        rev_p.reshape(2, 2 * nt - 1, R * T, MT)
+        .transpose(1, 0, 2, 3)
+        .reshape((2 * nt - 1) * 2 * R * T, MT)
     )
 
 
