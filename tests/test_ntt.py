@@ -31,3 +31,28 @@ def test_psi_is_2nth_root():
         psi = ntt.find_psi(N)
         assert pow(psi, N, Q27) == Q27 - 1
         assert pow(psi, 2 * N, Q27) == 1
+
+
+def test_ntt_dev_matches_host():
+    """Device (jnp int32) NTT == host reference, bit-exact, fwd/inv/mul."""
+    import jax.numpy as jnp
+
+    from oece_tpu.fhe import golden, ntt_dev
+
+    rng = np.random.default_rng(7)
+    for N in (64, 256, 1024):
+        a = rng.integers(0, Q27, (3, N), dtype=np.int64)
+        b = rng.integers(0, Q27, (3, N), dtype=np.int64)
+        fa_host = ntt.ntt_forward(a)
+        fa_dev = np.asarray(ntt_dev.ntt_forward_dev(jnp.asarray(a, jnp.int32)))
+        np.testing.assert_array_equal(fa_dev, fa_host)
+        ia_host = ntt.ntt_inverse(fa_host)
+        ia_dev = np.asarray(ntt_dev.ntt_inverse_dev(jnp.asarray(fa_dev)))
+        np.testing.assert_array_equal(ia_dev, ia_host)
+        want = np.stack([golden.negacyclic_mul(x, y, Q27) for x, y in zip(a, b)])
+        got = np.asarray(
+            ntt_dev.negacyclic_mul_ntt_dev(
+                jnp.asarray(a, jnp.int32), jnp.asarray(b, jnp.int32)
+            )
+        )
+        np.testing.assert_array_equal(got, want)
