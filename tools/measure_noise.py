@@ -155,7 +155,7 @@ def main():
         "hist_nonzero": {int(c): int(h) for c, h in zip(centers, hist) if h},
     }
     os.makedirs("artifacts", exist_ok=True)
-    path = f"artifacts/noise_{name}.json"
+    path = f"artifacts/noise_{name}_{layout}.json"
     with open(path, "w") as f:
         json.dump(res, f, indent=1)
     print(json.dumps({k: v for k, v in res.items() if k != "hist_nonzero"}))
