@@ -44,6 +44,8 @@ def _run(results, fn, fname, opt: Options, n=None, **kw):
             set=opt.set,
             method=opt.method,
             encrypted=not opt.plaintext_only,
+            verify=not opt.recover,
+            recover=opt.recover,
             seed=opt.seed,
             verbose=opt.verbose,
             **kw,

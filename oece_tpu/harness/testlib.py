@@ -129,6 +129,7 @@ def run_harness(
     method: str = "GINX",
     encrypted: bool = True,
     verify: bool = True,
+    recover: bool = False,
     seed: int = 0,
     circuit: Optional[Circuit] = None,
     verbose: bool = False,
@@ -165,10 +166,18 @@ def run_harness(
         c.setPlaintext(not verify)
         c.setEncrypted(True)
         c.setVerify(verify)
+        if recover and not verify:
+            # pure-encrypted-mode margin recovery (evaluator.setRecovery):
+            # no plaintext model consulted during the encrypted pass
+            c.setRecovery(True)
         c.SetInput(in_words)
         c.Clock(verbose=verbose)
         enc_passed = compare(c.GetOutput())
         bad = sum(c.bad_gate_counts.values())
+        if recover and not verify:
+            bad += sum(
+                v for k, v in c.recover_counts.items() if k != "HARD"
+            )
     return HarnessResult(
         name=name,
         n_cases=T,

@@ -26,6 +26,7 @@ class Options:
     method: str = "GINX"
     verbose: bool = False
     plaintext_only: bool = False
+    recover: bool = False
     xor_mode: str = "native"
     seed: int = 0
 
@@ -41,6 +42,8 @@ def parse_inputs(argv=None, description: str = "") -> Options:
                     choices=["TOY", "STD128_OPT", "STD128", "MICRO"], help="param set")
     ap.add_argument("-m", dest="method", default="GINX", choices=["AP", "GINX"])
     ap.add_argument("-v", dest="verbose", action="store_true")
+    ap.add_argument("--recover", action="store_true",
+                    help="pure-encrypted mode with phase-margin recovery (setRecovery) instead of verify")
     ap.add_argument("--plaintext-only", action="store_true",
                     help="skip the encrypted pass (fast functional check)")
     ap.add_argument("--xor-mode", default="native", choices=["native", "compound"],
@@ -53,5 +56,6 @@ def parse_inputs(argv=None, description: str = "") -> Options:
         analyze=ns.analyze, assemble=ns.assemble, fanout=ns.fanout,
         n_cases=ns.n_cases, num_test_loops=ns.num_test_loops, set=ns.set,
         method=ns.method, verbose=ns.verbose,
-        plaintext_only=ns.plaintext_only, xor_mode=ns.xor_mode, seed=ns.seed,
+        plaintext_only=ns.plaintext_only, recover=ns.recover,
+        xor_mode=ns.xor_mode, seed=ns.seed,
     )
