@@ -149,7 +149,10 @@ class Circuit:
                 else:
                     self.sk, _z, self.dkeys = devkeygen.device_keygen(
                         self.params, seed=kg_seed,
-                        layout=_os.environ.get("OECE_LAYOUT", "rev"),
+                        # default rev2: the rotated-difference step is
+                        # the fastest AND lowest-noise pipeline on
+                        # hardware (BENCH r4, NOISE.md §3)
+                        layout=_os.environ.get("OECE_LAYOUT", "rev2"),
                     )
             else:
                 self.sk = golden.lwe_keygen(self.params, self._rng)

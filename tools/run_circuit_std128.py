@@ -69,7 +69,7 @@ def main():
         from oece_tpu.fhe import devkeygen
 
         c.sk, _z, c.dkeys = devkeygen.device_keygen(
-            params, seed=0, layout=os.environ.get("OECE_LAYOUT", "rev")
+            params, seed=0, layout=os.environ.get("OECE_LAYOUT", "rev2")
         )
     else:
         # CPU/golden path: cached host keys (keygen is minutes at STD128)
