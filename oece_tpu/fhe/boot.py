@@ -54,6 +54,10 @@ FUSED_MAX_B = 1024
 # then exercise the exact production kernel path without a TPU).
 PALLAS_INTERPRET = os.environ.get("OECE_PALLAS_INTERPRET") == "1"
 
+# rev2 rotation as one whole-rotation megakernel (steps = grid dim) vs a
+# lax.scan of per-step kernels.  OECE_ROT_MEGA=0 restores the scan.
+ROT_MEGA = os.environ.get("OECE_ROT_MEGA", "0") == "1"
+
 # Fixed gate enumeration for per-gate test-vector / prep-weight tables.
 GATE_ORDER = [
     BinGate.AND,
@@ -432,6 +436,16 @@ def blind_rotate_ginx_dev(
     N = p.N
     if keys.ginx_rev2 is not None:
         assert tp_axis is None, "tensor parallelism uses the jnp key layout"
+        if ROT_MEGA:
+            # all n steps as ONE pallas_call (step = grid dim, accumulator
+            # VMEM-resident): removes the per-step launch overhead that
+            # dominates small-batch circuit levels
+            zlb = max(0, int(np.log2(2 * N // p.q)))
+            return pk.blind_rotate_rot_megakernel(
+                acc, keys.ginx_rev2, a2N, p.Q, p.B_g, p.d_g_used,
+                p.g_shift, block_b=FUSED_MAX_B,
+                interpret=PALLAS_INTERPRET, zero_low_bits=zlb,
+            )
 
         def body_rot(carry, xs):
             a_col, rev2_i = xs

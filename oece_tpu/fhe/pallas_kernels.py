@@ -1213,6 +1213,138 @@ def _matmul_body(digs_ref, rev_ref, pacc_ref, nt, R, M, TB, Q):
         )
 
 
+def _rot_megakernel(
+    rev2_ref, amt_ref, accin_ref, out_ref, digs_ref,
+    *, nt, R, TB, Q, B_g, d_used, g_shift, N, b_lo,
+):
+    """GINX rotated-difference step with the STEP INDEX AS A GRID DIM:
+    the accumulator lives in a revisited VMEM block across all n steps
+    (zero per-step kernel-launch overhead — the cost that dominates
+    small-batch circuit levels), each step's interleaved rev2 diagonals
+    stream in via the BlockSpec index map (double-buffered DMA).  The
+    in-cell math is _rot_step_true_kernel's, reading/writing the resident
+    block.
+
+    rev2_ref : [1, (2*nt-1)*2*R*TILE, 8*TILE] — this step's diagonals
+    amt_ref  : [1, TB, 2] — this step's (c_pos, c_neg) per gate
+    accin_ref: [TB, 2, N] — initial accumulator (read at step 0 only)
+    out_ref  : [TB, 2, N] — resident accumulator (read + write)
+    """
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[...] = accin_ref[...]
+
+    RT = R * TILE
+    RT2 = 2 * RT
+    EB = math.gcd(TB, 64)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (EB, 2, N), 2)
+
+    for part in (0, 1):
+
+        def rot_dec_body(i, carry, part=part):
+            s0 = i * EB
+            A = out_ref[pl.ds(s0, EB)]  # [EB, 2, N]
+            c = jnp.broadcast_to(
+                amt_ref[0, pl.ds(s0, EB), part : part + 1], (EB, N)
+            )[:, None, :]
+            cp = c & (N - 1)
+            x = A
+            for b in range(b_lo, int(np.log2(N))):
+                sh = 1 << b
+                rolled = pltpu.roll(x, sh, 2)
+                x = jnp.where((cp & sh) != 0, rolled, x)
+            wrap = (lane < cp) ^ (c >= N)
+            rot = jnp.where(wrap, jnp.where(x == 0, 0, Q - x), x)
+            d = rot - A
+            d = jnp.where(d < 0, d + Q, d)
+            for pp in range(2):
+                planes = _decompose_lanes(d[:, pp, :], Q, B_g, d_used, g_shift)
+                for dgt, plane in enumerate(planes):
+                    rr = pp * d_used + dgt
+                    for j in range(nt):
+                        col = j * RT2 + part * RT + rr * TILE
+                        digs_ref[pl.ds(s0, EB), col : col + TILE] = (
+                            plane[:, j * TILE : (j + 1) * TILE]
+                        )
+            return carry
+
+        jax.lax.fori_loop(0, TB // EB, rot_dec_body, 0)
+
+    for k in range(nt):
+        res = jax.lax.dot_general(
+            digs_ref[...],
+            rev2_ref[0, pl.ds((nt - 1 - k) * RT2, nt * RT2), :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        comb = _combine_limbs_tile(res.reshape(TB, 2, 4, TILE), Q)
+        # per-tile read-then-write of the resident block: tile k's original
+        # accumulator value is still unwritten when read here
+        y = out_ref[:, :, pl.ds(k * TILE, TILE)] + comb  # < 2Q
+        out_ref[:, :, pl.ds(k * TILE, TILE)] = modmath.red31(y, Q)
+
+
+def blind_rotate_rot_megakernel(
+    acc, rev2_all, a2N, Q: int, B_g: int, d_used: int, g_shift: int,
+    block_b: int = 1024, interpret: bool = False, zero_low_bits: int = 0,
+):
+    """The whole rotated-difference GINX rotation as ONE pallas_call.
+
+    acc      : int32 [B, 2, N]
+    rev2_all : int8 [n, (2*nt-1)*2*R*T, 8*T] (devkeygen layout "rev2")
+    a2N      : int32 [B, n] in [0, 2N)
+    Bit-exact equal to scanning boot._external_cmux_rot over the steps.
+    """
+    B, _, N = acc.shape
+    nsteps = rev2_all.shape[0]
+    nt = N // TILE
+    R = 2 * d_used
+    RT2 = 2 * R * TILE
+    assert rev2_all.shape[1] == (2 * nt - 1) * RT2, rev2_all.shape
+    MT = rev2_all.shape[2]
+    TB = min(block_b, B)
+    while B % TB:
+        TB -= 1 if TB % 2 else TB // 2
+    two_n = 2 * N
+    c_pos = (two_n - a2N) & (two_n - 1)
+    amt = jnp.transpose(jnp.stack([c_pos, a2N], axis=2), (1, 0, 2))  # [n,B,2]
+    resident = 2 * rev2_all.shape[1] * MT  # step block, double-buffered
+    per_chunk = (
+        2 * 4 * TB * 2 * N  # accin + out
+        + TB * nt * RT2  # digit scratch
+        + 2 * 4 * TB * MT  # dot results
+    )
+    assert resident + per_chunk <= VMEM_PARAMS.vmem_limit_bytes, (
+        f"rot megakernel VMEM estimate {(resident + per_chunk) >> 20} MiB "
+        f"exceeds budget (TB={TB})"
+    )
+    kernel = functools.partial(
+        _rot_megakernel, nt=nt, R=R, TB=TB, Q=Q, B_g=B_g, d_used=d_used,
+        g_shift=g_shift, N=N, b_lo=zero_low_bits,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B // TB, nsteps),
+        in_specs=[
+            pl.BlockSpec(
+                (1, rev2_all.shape[1], MT), lambda c, i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, TB, 2), lambda c, i: (i, c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 2, N), lambda c, i: (c, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TB, 2, N), lambda c, i: (c, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 2, N), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((TB, nt * RT2), jnp.int8),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else VMEM_PARAMS,
+    )(rev2_all, amt, acc)
+
+
 def _ap_megakernel(
     win_ref, bit_ref, accin_ref, out_ref, rev_ref, digs_ref, pacc_ref,
     *, nt, R, M, TB, Q, B_g, d_used, g_shift, N,

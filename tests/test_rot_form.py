@@ -140,3 +140,48 @@ def test_rev2_same_key_material_as_rev():
     assert dk1.ginx_rev.shape[0] == dk2.ginx_rev2.shape[0]
     # rev holds [n, ndiag*R*T, 16*T]; rev2 [n, 2, ndiag*R*T, 8*T] — same bytes
     assert dk1.ginx_rev.size == dk2.ginx_rev2.size
+
+
+def test_rot_megakernel_matches_scan(monkeypatch):
+    """blind_rotate_rot_megakernel (whole rotation, one pallas_call) ==
+    the per-step scan, bit-exact, MICRO + MICRO_A (interpret mode)."""
+    monkeypatch.setattr(boot, "PALLAS_INTERPRET", True)
+    for params in (MICRO, MICRO_A):
+        sk, z, dkeys = devkeygen.device_keygen(params, seed=7, layout="rev2")
+        rng = np.random.default_rng(9)
+        B = 8
+        acc = jnp.asarray(
+            rng.integers(0, params.Q, (B, 2, params.N)).astype(np.int32)
+        )
+        scale = 2 * params.N // params.q
+        a2N = jnp.asarray(
+            (scale * rng.integers(0, params.q, (B, params.n))).astype(np.int32)
+        )
+        monkeypatch.setattr(boot, "ROT_MEGA", False)
+        want = np.asarray(boot.blind_rotate_ginx_dev(acc, a2N, dkeys))
+        monkeypatch.setattr(boot, "ROT_MEGA", True)
+        got = np.asarray(boot.blind_rotate_ginx_dev(acc, a2N, dkeys))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_rot_megakernel_end_to_end_gates(monkeypatch):
+    """Full gate evaluation through the rot megakernel decrypts correctly
+    (MICRO_A, both batch-chunk counts: B < TB and B = 2*TB)."""
+    monkeypatch.setattr(boot, "PALLAS_INTERPRET", True)
+    monkeypatch.setattr(boot, "ROT_MEGA", True)
+    sk, z, dkeys = devkeygen.device_keygen(MICRO_A, seed=7, layout="rev2")
+    rng = np.random.default_rng(10)
+    for B, block in ((12, 1024), (8, 4)):
+        monkeypatch.setattr(boot, "FUSED_MAX_B", block)
+        m1 = rng.integers(0, 2, B)
+        m2 = rng.integers(0, 2, B)
+        gids = np.arange(B, dtype=np.int32) % 6
+        c1 = jnp.asarray(lwe.encrypt_bits(sk, m1, rng))
+        c2 = jnp.asarray(lwe.encrypt_bits(sk, m2, rng))
+        out = np.asarray(
+            boot.eval_bin_gate_batch(dkeys, jnp.asarray(gids), c1, c2)
+        )
+        want = np.array(
+            [TRUTH[g](int(a), int(b)) for g, a, b in zip(gids, m1, m2)]
+        )
+        np.testing.assert_array_equal(lwe.decrypt_bits(sk, out), want)
