@@ -81,7 +81,9 @@ def test_circuit_dp_device_keygen_rev_layout(monkeypatch):
 
     def run(mesh):
         c = Circuit(set="MICRO", method="GINX", seed=3, mesh=mesh)
-        assert c.dkeys.ginx_rev is not None, "device keygen must be in force"
+        assert (
+            c.dkeys.ginx_rev is not None or c.dkeys.ginx_rev2 is not None
+        ), "device keygen must be in force"
         c.ReadFile(ADDER)
         c.setVerify(True)
         c.SetInput([in1, in2])
