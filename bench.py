@@ -179,7 +179,7 @@ def run_tier(tier: str) -> None:
                 f" KATs passed — {art}",
                 file=sys.stderr,
             )
-        except (KeyError, json.JSONDecodeError):
+        except Exception:  # informational only; never kill a measured tier
             print(f"# note: {art} exists but is unreadable", file=sys.stderr)
     else:
         print(

@@ -110,10 +110,12 @@ class DeviceBootKeys:
     # [n, (2*nt-1)*R*128, M*128] (fhe/devkeygen.py; the round-3 hot path —
     # kills the per-step dense build and the lane permutation entirely).
     ginx_rev: Optional[jnp.ndarray] = None
-    # Per-part prebuilt diagonals int8 [n, 2, (2*nt-1)*R*128, 8*128] for the
-    # fused rotated-difference step (pk.rot_step_true; ROOFLINE §4 lever 2 —
-    # the rotation moves before decomposition, the epilogue kernel and its
-    # [B, 4, N] HBM round-trip disappear).  Golden twin:
+    # Part-INTERLEAVED prebuilt diagonals int8
+    # [n, (2*nt-1)*2*R*128, 8*128] — row (d', part, r, u) at
+    # d'*2RT + part*RT + r*128 + u — for the fused rotated-difference step
+    # (pk.rot_step_true / pk.blind_rotate_rot_megakernel; ROOFLINE §4
+    # lever 2: rotation moves before decomposition, the epilogue kernel
+    # and its [B, 4, N] HBM round-trip disappear).  Golden twin:
     # golden.blind_rotate_ginx_rot.
     ginx_rev2: Optional[jnp.ndarray] = None
 

@@ -194,6 +194,42 @@ def _seed_words(seed) -> np.ndarray:
     return w
 
 
+
+def _prf_root_and_secrets(params: BinFHEParams, seed_words):
+    """Shared PRF derivation for ALL keygens: fold the 256-bit seed into the
+    root key, split into the fixed stream order, sample (s, z).
+
+    GINX and AP keygens MUST both use this so one seed yields one LWE
+    secret / ring secret / key-switch key across methods (pinned by
+    tests/test_devkeygen.py::test_device_keygen_ap_shares_secrets_with_ginx).
+    """
+    root = jax.random.PRNGKey(0)
+    for i in range(8):
+        root = jax.random.fold_in(root, seed_words[i])
+    ks = jax.random.split(root, 8)  # (s, z, ba, be, aa, ae, ka, ke)
+    s = _ternary(ks[0], (params.n,))
+    z = _ternary(ks[1], (params.N,))
+    return ks, s, z
+
+
+def _keyswitch_key_limbs(params: BinFHEParams, k_ka, k_ke, s, z):
+    """Key-switch key as centered base-256 int8 limbs (shared by both
+    method keygens; derivation identical to golden.keyswitch_keygen)."""
+    p = params
+    N, n, Qks = p.N, p.n, p.Q_ks
+    d_ks, B_ks = p.d_ks, p.B_ks
+    Aks = _uniform_mod(k_ka, (N * d_ks, n), Qks)
+    Eks = _gauss(k_ke, p.sigma, (N * d_ks,))
+    gk = jnp.asarray([pow(B_ks, j, Qks) for j in range(d_ks)], jnp.int32)
+    zg = (jnp.repeat(z, d_ks) * jnp.tile(gk, N)) % Qks
+    bks = (jnp.einsum("ki,i->k", Aks, s) + Eks + zg) % Qks
+    ksk = jnp.concatenate([Aks, bks[:, None]], axis=1)
+    kc = ksk - (ksk >= Qks // 2) * Qks  # centered
+    l0 = kc - ((kc + 128) >> 8 << 8)
+    l1 = (kc - l0) >> 8
+    return jnp.stack([l0, l1], axis=-1).astype(jnp.int8)
+
+
 @functools.partial(jax.jit, static_argnames=("params", "layout"))
 def _keygen_jit(params: BinFHEParams, seed_words, layout: str = "rev"):
     p = params
@@ -204,13 +240,8 @@ def _keygen_jit(params: BinFHEParams, seed_words, layout: str = "rev"):
     # from the 256-bit seed via the threefry PRF — the standard PRF key
     # derivation assumption.  The seed itself must be full-entropy in
     # production (see _seed_words / ADVICE r3).
-    root = jax.random.PRNGKey(0)
-    for i in range(8):
-        root = jax.random.fold_in(root, seed_words[i])
-    k_s, k_z, k_ba, k_be, k_aa, k_ae, k_ka, k_ke = jax.random.split(root, 8)
-
-    s = _ternary(k_s, (n,))
-    z = _ternary(k_z, (N,))
+    ks, s, z = _prf_root_and_secrets(params, seed_words)
+    k_s, k_z, k_ba, k_be, k_aa, k_ae, k_ka, k_ke = ks
 
     # ---- GINX refresh keys --------------------------------------------------
     # golden.rgsw_encrypt layout: rows j<d are "a-part" (a + m*g, a*z + e);
@@ -256,18 +287,8 @@ def _keygen_jit(params: BinFHEParams, seed_words, layout: str = "rev"):
         perm = jnp.transpose(kext, (0, 2, 1, 3, 4, 5)).reshape(n, RM, 2 * N)
         rev = _build_rev_true(perm.astype(jnp.int8), 2 * d, N)
 
-    # ---- key-switch key -----------------------------------------------------
-    d_ks, B_ks = p.d_ks, p.B_ks
-    Aks = _uniform_mod(k_ka, (N * d_ks, n), Qks)
-    Eks = _gauss(k_ke, p.sigma, (N * d_ks,))
-    gk = jnp.asarray([pow(B_ks, j, Qks) for j in range(d_ks)], jnp.int32)
-    zg = (jnp.repeat(z, d_ks) * jnp.tile(gk, N)) % Qks  # [N*d_ks]
-    bks = (jnp.einsum("ki,i->k", Aks, s) + Eks + zg) % Qks
-    ksk = jnp.concatenate([Aks, bks[:, None]], axis=1)  # [N*d_ks, n+1] mod Qks
-    kc = ksk - (ksk >= Qks // 2) * Qks  # centered
-    l0 = kc - ((kc + 128) >> 8 << 8)
-    l1 = (kc - l0) >> 8
-    ksk_limbs = jnp.stack([l0, l1], axis=-1).astype(jnp.int8)
+    # ---- key-switch key (shared helper) ------------------------------------
+    ksk_limbs = _keyswitch_key_limbs(p, k_ka, k_ke, s, z)
 
     return s, z, rev, ksk_limbs
 
@@ -292,13 +313,8 @@ def _keygen_ap_jit(params: BinFHEParams, seed_words):
     d = p.d_g_used
     shift = p.g_shift
     d_r = p.d_r
-    root = jax.random.PRNGKey(0)
-    for i in range(8):
-        root = jax.random.fold_in(root, seed_words[i])
-    k_s, k_z, k_ba, k_be, k_aa, k_ae, k_ka, k_ke = jax.random.split(root, 8)
-
-    s = _ternary(k_s, (n,))
-    z = _ternary(k_z, (N,))
+    ks, s, z = _prf_root_and_secrets(params, seed_words)
+    k_s, k_z, k_ba, k_be, k_aa, k_ae, k_ka, k_ke = ks
 
     steps = n * d_r
     jj = jnp.arange(d_r, dtype=jnp.int32)
@@ -340,18 +356,8 @@ def _keygen_ap_jit(params: BinFHEParams, seed_words):
 
     wins = jax.lax.map(pack_one, rows)  # [steps, ndiag, 4, R*Ma*SPANW]
 
-    # ---- key-switch key (identical derivation to _keygen_jit) -------------
-    d_ks, B_ks = p.d_ks, p.B_ks
-    Aks = _uniform_mod(k_ka, (N * d_ks, n), Qks)
-    Eks = _gauss(k_ke, p.sigma, (N * d_ks,))
-    gk = jnp.asarray([pow(B_ks, j_, Qks) for j_ in range(d_ks)], jnp.int32)
-    zg = (jnp.repeat(z, d_ks) * jnp.tile(gk, N)) % Qks
-    bks = (jnp.einsum("ki,i->k", Aks, s) + Eks + zg) % Qks
-    ksk = jnp.concatenate([Aks, bks[:, None]], axis=1)
-    kc = ksk - (ksk >= Qks // 2) * Qks
-    l0 = kc - ((kc + 128) >> 8 << 8)
-    l1 = (kc - l0) >> 8
-    ksk_limbs = jnp.stack([l0, l1], axis=-1).astype(jnp.int8)
+    # ---- key-switch key (shared helper: identical to the GINX keygen) ------
+    ksk_limbs = _keyswitch_key_limbs(p, k_ka, k_ke, s, z)
 
     return s, z, wins, ksk_limbs
 

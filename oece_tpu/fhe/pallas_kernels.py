@@ -973,6 +973,53 @@ def cmux_epilogue_true(
     )(P, acc, amt_lane)
 
 
+def _rot_diff_decompose(
+    acc_ref, get_amt, digs_ref, *, nt, R, TB, Q, B_g, d_used, g_shift, N,
+    b_lo,
+):
+    """Shared rotate-diff + decompose body of the rotated-difference step
+    (used by BOTH _rot_step_true_kernel and _rot_megakernel — one copy of
+    the barrel/wrap/decompose logic keeps scan and megakernel bit-aligned).
+
+    Per part p: d = (X^{c_p} * acc - acc) mod Q, gadget-decomposed into the
+    part-interleaved digit scratch (column j*2RT + p*RT + rr*TILE).
+    ``get_amt(s0, EB, part)`` returns [EB, 1, N]-broadcastable amounts.
+    """
+    RT = R * TILE
+    RT2 = 2 * RT
+    EB = math.gcd(TB, 64)  # barrel sub-chunks (Mosaic register pressure)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (EB, 2, N), 2)
+
+    for part in (0, 1):
+
+        def rot_dec_body(i, carry, part=part):
+            s0 = i * EB
+            A = acc_ref[pl.ds(s0, EB)]  # [EB, 2, N]
+            c = get_amt(s0, EB, part)
+            cp = c & (N - 1)
+            x = A
+            for b in range(b_lo, int(np.log2(N))):
+                sh = 1 << b
+                rolled = pltpu.roll(x, sh, 2)
+                x = jnp.where((cp & sh) != 0, rolled, x)
+            wrap = (lane < cp) ^ (c >= N)
+            rot = jnp.where(wrap, jnp.where(x == 0, 0, Q - x), x)
+            d = rot - A
+            d = jnp.where(d < 0, d + Q, d)  # (X^c - 1)*acc mod Q
+            for pp in range(2):
+                planes = _decompose_lanes(d[:, pp, :], Q, B_g, d_used, g_shift)
+                for dgt, plane in enumerate(planes):
+                    rr = pp * d_used + dgt
+                    for j in range(nt):
+                        col = j * RT2 + part * RT + rr * TILE
+                        digs_ref[pl.ds(s0, EB), col : col + TILE] = (
+                            plane[:, j * TILE : (j + 1) * TILE]
+                        )
+            return carry
+
+        jax.lax.fori_loop(0, TB // EB, rot_dec_body, 0)
+
+
 def _rot_step_true_kernel(
     acc_ref, rev2_ref, amt_ref, out_ref, digs_ref,
     *, nt, R, TB, Q, B_g, d_used, g_shift, N, b_lo,
@@ -998,42 +1045,17 @@ def _rot_step_true_kernel(
     digs_ref : scratch int8 [TB, nt*2*R*TILE]
     ``b_lo`` barrel rounds skip (rotation amounts are multiples of 2N/q).
     """
-    RT = R * TILE
-    RT2 = 2 * RT
-    EB = math.gcd(TB, 64)  # barrel sub-chunks (Mosaic register pressure)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (EB, 2, N), 2)
+    RT2 = 2 * R * TILE
 
-    for part in (0, 1):
+    def get_amt(s0, EB, part):  # lane-replicated [TB, 2, TILE] input
+        return jnp.concatenate(
+            [amt_ref[pl.ds(s0, EB), part : part + 1]] * (N // TILE), axis=-1
+        )  # [EB, 1, N]
 
-        def rot_dec_body(i, carry, part=part):
-            s0 = i * EB
-            A = acc_ref[pl.ds(s0, EB)]  # [EB, 2, N]
-            c = jnp.concatenate(
-                [amt_ref[pl.ds(s0, EB), part : part + 1]] * (N // TILE),
-                axis=-1,
-            )  # [EB, 1, N] broadcast over the two RLWE rows
-            cp = c & (N - 1)
-            x = A
-            for b in range(b_lo, int(np.log2(N))):
-                sh = 1 << b
-                rolled = pltpu.roll(x, sh, 2)
-                x = jnp.where((cp & sh) != 0, rolled, x)
-            wrap = (lane < cp) ^ (c >= N)
-            rot = jnp.where(wrap, jnp.where(x == 0, 0, Q - x), x)
-            d = rot - A
-            d = jnp.where(d < 0, d + Q, d)  # (X^c - 1)*acc mod Q
-            for pp in range(2):
-                planes = _decompose_lanes(d[:, pp, :], Q, B_g, d_used, g_shift)
-                for dgt, plane in enumerate(planes):
-                    rr = pp * d_used + dgt
-                    for j in range(nt):
-                        col = j * RT2 + part * RT + rr * TILE
-                        digs_ref[pl.ds(s0, EB), col : col + TILE] = (
-                            plane[:, j * TILE : (j + 1) * TILE]
-                        )
-            return carry
-
-        jax.lax.fori_loop(0, TB // EB, rot_dec_body, 0)
+    _rot_diff_decompose(
+        acc_ref, get_amt, digs_ref, nt=nt, R=R, TB=TB, Q=Q, B_g=B_g,
+        d_used=d_used, g_shift=g_shift, N=N, b_lo=b_lo,
+    )
 
     for k in range(nt):
         res = jax.lax.dot_general(
@@ -1234,41 +1256,17 @@ def _rot_megakernel(
     def _():
         out_ref[...] = accin_ref[...]
 
-    RT = R * TILE
-    RT2 = 2 * RT
-    EB = math.gcd(TB, 64)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (EB, 2, N), 2)
+    RT2 = 2 * R * TILE
 
-    for part in (0, 1):
+    def get_amt(s0, EB, part):  # [1, TB, 2] streamed input
+        return jnp.broadcast_to(
+            amt_ref[0, pl.ds(s0, EB), part : part + 1], (EB, N)
+        )[:, None, :]
 
-        def rot_dec_body(i, carry, part=part):
-            s0 = i * EB
-            A = out_ref[pl.ds(s0, EB)]  # [EB, 2, N]
-            c = jnp.broadcast_to(
-                amt_ref[0, pl.ds(s0, EB), part : part + 1], (EB, N)
-            )[:, None, :]
-            cp = c & (N - 1)
-            x = A
-            for b in range(b_lo, int(np.log2(N))):
-                sh = 1 << b
-                rolled = pltpu.roll(x, sh, 2)
-                x = jnp.where((cp & sh) != 0, rolled, x)
-            wrap = (lane < cp) ^ (c >= N)
-            rot = jnp.where(wrap, jnp.where(x == 0, 0, Q - x), x)
-            d = rot - A
-            d = jnp.where(d < 0, d + Q, d)
-            for pp in range(2):
-                planes = _decompose_lanes(d[:, pp, :], Q, B_g, d_used, g_shift)
-                for dgt, plane in enumerate(planes):
-                    rr = pp * d_used + dgt
-                    for j in range(nt):
-                        col = j * RT2 + part * RT + rr * TILE
-                        digs_ref[pl.ds(s0, EB), col : col + TILE] = (
-                            plane[:, j * TILE : (j + 1) * TILE]
-                        )
-            return carry
-
-        jax.lax.fori_loop(0, TB // EB, rot_dec_body, 0)
+    _rot_diff_decompose(
+        out_ref, get_amt, digs_ref, nt=nt, R=R, TB=TB, Q=Q, B_g=B_g,
+        d_used=d_used, g_shift=g_shift, N=N, b_lo=b_lo,
+    )
 
     for k in range(nt):
         res = jax.lax.dot_general(

@@ -55,10 +55,22 @@ def shard_bootstrap_keys(keys: boot.DeviceBootKeys, mesh: Mesh) -> boot.DeviceBo
     ``tp``, replicated over ``dp``.
     Pallas window layout (ginx_pallas): keys fully replicated (dp-only).
     """
-    assert keys.method == BinFHEMethod.GINX, "tp sharding targets GINX"
     from jax.sharding import NamedSharding
 
     tv = jax.device_put(keys.tv_table, NamedSharding(mesh, P()))
+    if keys.method == BinFHEMethod.AP:
+        assert int(mesh.shape.get("tp", 1)) == 1, (
+            "AP shards dp-only (the megakernel owns the whole contraction); "
+            "build the mesh with tp=1"
+        )
+        rep = lambda x: (
+            None if x is None else jax.device_put(x, NamedSharding(mesh, P()))
+        )
+        return boot.DeviceBootKeys(
+            params=keys.params, method=keys.method, ginx_kext=None,
+            ap_kext=rep(keys.ap_kext), ksk=rep(keys.ksk), tv_table=tv,
+            ap_pallas=rep(keys.ap_pallas),
+        )
     if keys.ginx_rev is not None or keys.ginx_rev2 is not None:
         assert int(mesh.shape.get("tp", 1)) == 1, (
             "the prebuilt ginx_rev/rev2 layouts shard dp-only; build the "
@@ -105,6 +117,34 @@ def make_sharded_gate_fn(keys: boot.DeviceBootKeys, mesh: Mesh):
     p = keys.params
     method = keys.method
     tp = mesh.shape["tp"]
+
+    if method == BinFHEMethod.AP:
+        assert tp == 1, "AP shards dp-only; build the mesh with tp=1"
+        ap_key = keys.ap_pallas if keys.ap_pallas is not None else keys.ap_kext
+        use_pallas_ap = keys.ap_pallas is not None
+
+        def local_fn_ap(ap_key, ksk, tv, gids, c1, c2):
+            lkeys = boot.DeviceBootKeys(
+                params=p, method=method, ginx_kext=None,
+                ap_kext=None if use_pallas_ap else ap_key,
+                ksk=ksk, tv_table=tv,
+                ap_pallas=ap_key if use_pallas_ap else None,
+            )
+            return boot.eval_bin_gate_batch(lkeys, gids, c1, c2)
+
+        smapped_ap = shard_map(
+            local_fn_ap,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P("dp"), P("dp", None), P("dp", None)),
+            out_specs=P("dp", None),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def fn_ap(gids, c1, c2):
+            return smapped_ap(ap_key, keys.ksk, keys.tv_table, gids, c1, c2)
+
+        return fn_ap
 
     if keys.ginx_rev is not None or keys.ginx_rev2 is not None:
         assert tp == 1, (

@@ -619,10 +619,12 @@ class Circuit:
         q = self.params.q
         W, T = out.shape[0], self._batch
         cts = np.asarray(out).reshape(W * T, -1)
-        phase = (cts[:, -1] - cts[:, :-1] @ self.sk.s) % q
-        bitn = (((phase - q // 8) % q) < (q // 2)).astype(np.int64)
-        err = (phase - bitn * (q // 4) + q // 2) % q - q // 2
-        aerr = np.abs(err).reshape(W, T)
+        # same decode-window/centering semantics as the fused TPU path
+        bitn_d, err_d = lwe.phase_margin_dev(
+            np.asarray(self.sk.s, dtype=np.int64), cts, q
+        )
+        bitn = np.asarray(bitn_d).astype(np.int64)
+        aerr = np.abs(np.asarray(err_d)).reshape(W, T)
         self.max_phase_err = max(
             self.max_phase_err, int(aerr.max()) if aerr.size else 0
         )
@@ -681,15 +683,18 @@ class Circuit:
             gg[:w] = gate_ids[sl]
             ov = np.zeros(Wpad, np.int32)
             ov[:w] = ops[sl]
-            want = np.zeros((Wpad, T), np.int32)
             recover = self.recover_flag and not self.verify_flag
             if self.verify_flag:
+                want = np.zeros((Wpad, T), np.int32)
                 want[:w] = self._plain_arena[:, outw[sl]].T
                 key = self._next_key()
                 if self._bad_dev is None:
                     self._bad_dev = jnp.zeros((_N_OPS,), jnp.int32)
                 bad = self._bad_dev
             else:
+                # the jitted fn ignores `want` outside verify: ship a
+                # 4-byte placeholder, not a (Wpad, T) zeros upload per chunk
+                want = np.zeros((1, 1), np.int32)
                 key = self._next_key() if recover else self._zero_key()
                 bad = jnp.zeros((_N_OPS,), jnp.int32)
             if recover and self._rec_dev is None:

@@ -119,3 +119,31 @@ def test_circuit_mesh_matches_single_device():
     a = run(None)
     b = run(make_mesh(8, tp=2))
     assert np.array_equal(a, b)
+
+
+def test_circuit_dp_ap_device_keygen(monkeypatch):
+    """AP method x dp mesh x device keygen (the combination the r4 review
+    found crashing in shard_bootstrap_keys): end-to-end correct on the
+    virtual mesh via the AP megakernel."""
+    import dataclasses
+
+    from oece_tpu.fhe import boot
+    from oece_tpu.fhe.params import MICRO_A
+
+    monkeypatch.setattr(boot, "PALLAS_INTERPRET", True)
+    monkeypatch.setenv("OECE_FORCE_DEVICE_KEYGEN", "1")
+
+    p = dataclasses.replace(MICRO_A, name="MICRO_AP2", B_r=2)
+    mesh = make_mesh(8, tp=1)
+    c = Circuit(set=p, method="AP", seed=5, mesh=mesh)
+    assert c.dkeys.ap_pallas is not None and c.dkeys.method.name == "AP"
+    c.ReadFile(ADDER)
+    c.setVerify(True)
+    in1 = np.array([[1, 0], [0, 1]])
+    in2 = np.array([[1, 1], [1, 0]])
+    c.SetInput([in1, in2])
+    c.Clock()
+    (out,) = c.GetOutput()
+    want = in1 @ (1 << np.arange(2)) + in2 @ (1 << np.arange(2))
+    assert np.array_equal(out @ (1 << np.arange(out.shape[1])), want)
+    assert c.bad_gate_counts == {}, c.bad_gate_counts

@@ -16,7 +16,12 @@ from oece_tpu.circuits.asm import parse_asm
 from oece_tpu.fhe import lwe
 from oece_tpu.runtime.evaluator import Circuit
 
-ADDER = "/root/repo/examples/simple_ckts/adder_2bit/adder_2bit.out"
+import os
+
+ADDER = os.path.join(
+    os.path.dirname(__file__), "..", "examples", "simple_ckts",
+    "adder_2bit", "adder_2bit.out",
+)
 
 
 def test_phase_margin_dev_decodes_and_centers():

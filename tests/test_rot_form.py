@@ -138,7 +138,8 @@ def test_rev2_same_key_material_as_rev():
     sk2, _, dk2 = devkeygen.device_keygen(MICRO, seed=9, layout="rev2")
     np.testing.assert_array_equal(sk1.s, sk2.s)
     assert dk1.ginx_rev.shape[0] == dk2.ginx_rev2.shape[0]
-    # rev holds [n, ndiag*R*T, 16*T]; rev2 [n, 2, ndiag*R*T, 8*T] — same bytes
+    # rev holds [n, ndiag*R*T, 16*T]; rev2 the part-interleaved
+    # [n, ndiag*2*R*T, 8*T] — same bytes, different block order
     assert dk1.ginx_rev.size == dk2.ginx_rev2.size
 
 
