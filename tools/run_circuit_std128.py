@@ -134,7 +134,10 @@ def main():
 
     os.makedirs("artifacts", exist_ok=True)
     base = os.path.basename(results[0]["circuit_file"]).rsplit(".", 1)[0]
-    path = f"artifacts/{base}_{args.set.lower()}.json"
+    # the canonical artifact is the reference-parity 4-vector run; variant
+    # batch sizes get their own name so they never clobber it
+    suffix = "" if args.loops == 4 else f"_T{args.loops}"
+    path = f"artifacts/{base}_{args.set.lower()}{suffix}.json"
     with open(path, "w") as f:
         json.dump(results if len(results) > 1 else results[0], f, indent=1)
     print(f"# total {time.time()-t_start:.1f}s; written {path}")
