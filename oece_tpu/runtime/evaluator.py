@@ -388,6 +388,19 @@ class Circuit:
 
             assert self.sk is not None, "no keys"
             p = self.params
+            arena_gb = n_slots * T * (p.n + 1) * 4 / 2**30
+            if self._on_accel() and arena_gb > 3.0:
+                # STD128_OPT keys hold ~8 GB of a 16 GB-HBM chip; donation
+                # transiently doubles the arena, so ~4 GB arenas OOM
+                # (measured: T=16 on the 135k-wire sha256).  Warn before
+                # the opaque RESOURCE_EXHAUSTED.
+                print(
+                    f"WARNING: ciphertext arena {arena_gb:.1f} GB "
+                    f"({n_slots} wires x {T} cases); with device keys "
+                    f"resident this can exhaust HBM — reduce the case "
+                    f"batch (num_loops) or split the run",
+                    flush=True,
+                )
             if self._on_accel():
                 # DEVICE-side arena + encryption: the relay moves ~1 MB/s,
                 # so neither the [n_wires, T, n+1] arena nor the input
