@@ -175,11 +175,18 @@ def run_tier(tier: str) -> None:
         try:
             with open(art) as f:
                 rec = json.load(f)
+            prov = rec.get("provenance", {})
+            prov_s = (
+                f" [rev {prov.get('git_rev')}, layout {prov.get('layout')}, "
+                f"rot_mega {prov.get('rot_mega')}]"
+                if prov
+                else " [no provenance recorded — may predate this revision]"
+            )
             print(
                 f"# measured SHA-256 run (tools/run_circuit_std128.py): "
                 f"{rec['encrypted_trace']['summary']['total_s']:.0f}s encrypted "
                 f"wall, {rec['harness']['enc_passed']}/{rec['harness']['n_cases']}"
-                f" KATs passed — {art}",
+                f" KATs passed — {art}{prov_s}",
                 file=sys.stderr,
             )
         except Exception:  # informational only; never kill a measured tier

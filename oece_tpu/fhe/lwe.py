@@ -102,7 +102,9 @@ def phase_margin_dev(s_dev, cts, q: int):
     """Device-side nearest-VALID decode + centered phase error.
 
     Valid gate plaintexts encode only at {0, q/4} (bits), so the nearest
-    valid decode is bit=1 iff phase in (q/8, 5q/8).  Returns (bit, err)
+    valid decode is bit=1 iff phase in the half-open window [q/8, 5q/8)
+    (the lower boundary decodes as 1; boundary phases sit exactly at
+    threshold |err| == q/8 either way).  Returns (bit, err)
     with err = center(phase - bit*q/4) — the phase margin used by the
     encrypted-mode failure recovery (evaluator.setRecovery): |err| >= q/8
     proves a bootstrap failure WITHOUT the plaintext model (the phase sits

@@ -140,9 +140,14 @@ def make_sharded_gate_fn(keys: boot.DeviceBootKeys, mesh: Mesh):
             check_vma=False,
         )
 
-        @jax.jit
+        # keys pass as jit ARGUMENTS, never closure-captured: captured
+        # arrays are baked into the lowered program as constants, which
+        # embeds the multi-GB key in the remote-compile request on the
+        # relayed TPU (ADVICE r4; same fix as tools/measure_noise.py).
+        jfn_ap = jax.jit(smapped_ap)
+
         def fn_ap(gids, c1, c2):
-            return smapped_ap(ap_key, keys.ksk, keys.tv_table, gids, c1, c2)
+            return jfn_ap(ap_key, keys.ksk, keys.tv_table, gids, c1, c2)
 
         return fn_ap
 
@@ -173,9 +178,10 @@ def make_sharded_gate_fn(keys: boot.DeviceBootKeys, mesh: Mesh):
             check_vma=False,
         )
 
-        @jax.jit
+        jfn_rev = jax.jit(smapped_rev)  # keys as args (see fn_ap note)
+
         def fn_rev(gids, c1, c2):
-            return smapped_rev(rev_arr, keys.ksk, keys.tv_table, gids, c1, c2)
+            return jfn_rev(rev_arr, keys.ksk, keys.tv_table, gids, c1, c2)
 
         return fn_rev
 
@@ -201,9 +207,10 @@ def make_sharded_gate_fn(keys: boot.DeviceBootKeys, mesh: Mesh):
             check_vma=False,
         )
 
-        @jax.jit
+        jfn_pallas = jax.jit(smapped)  # keys as args (see fn_ap note)
+
         def fn_pallas(gids, c1, c2):
-            return smapped(
+            return jfn_pallas(
                 keys.ginx_pallas, keys.ksk, keys.tv_table, gids, c1, c2
             )
 
@@ -232,9 +239,10 @@ def make_sharded_gate_fn(keys: boot.DeviceBootKeys, mesh: Mesh):
         out_specs=P("dp", None),
     )
 
-    @jax.jit
+    jfn = jax.jit(smapped)  # keys as args (see fn_ap note)
+
     def fn(gids, c1, c2):
-        return smapped(keys.ginx_kext, keys.ksk, keys.tv_table, gids, c1, c2)
+        return jfn(keys.ginx_kext, keys.ksk, keys.tv_table, gids, c1, c2)
 
     return fn
 

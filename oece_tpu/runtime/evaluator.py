@@ -34,6 +34,7 @@ from ..circuits.netlist import (
     LevelPlan,
     Netlist,
     Op,
+    assign_ct_slots,
     levelize,
 )
 from ..fhe import boot, golden, lwe
@@ -177,7 +178,7 @@ class Circuit:
         self.recover_threshold = self.params.q // 16
 
         self._plain_arena: Optional[np.ndarray] = None  # int8 [T, n_wires+1]
-        self._ct_arena = None  # jnp int32 [n_wires+1, T, n+1]
+        self._ct_arena = None  # jnp int32 [n_ct_slots+1, T, n+1] (slot-indexed)
         self._batch = 1
         self.circuit_output: List[np.ndarray] = []
         self.gate_counts: Dict[str, int] = {}
@@ -193,6 +194,32 @@ class Circuit:
         import jax
 
         return jax.default_backend() not in ("cpu",)
+
+    def _hbm_gb(self) -> float:
+        """Device memory in GB (from the runtime when reported; the v5e's
+        16 GB otherwise)."""
+        import jax
+
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            limit = stats.get("bytes_limit", 0)
+            if limit:
+                return limit / 2**30
+        except Exception:
+            pass
+        return 16.0
+
+    def _key_gb(self) -> float:
+        """Bytes of device-resident bootstrap key material, in GB."""
+        if self.dkeys is None:
+            return 0.0
+        import jax
+
+        leaves = jax.tree_util.tree_leaves(self.dkeys)
+        return sum(
+            getattr(x, "size", 0) * getattr(x, "dtype", np.int8).itemsize
+            for x in leaves
+        ) / 2**30
 
     def _s_dev(self):
         """Device copy of the LWE secret (2 KB, uploaded once)."""
@@ -255,12 +282,15 @@ class Circuit:
             self.netlist = bristol_mod.parse_bristol(fname)
         t0 = time.time()
         self.plan = levelize(self.netlist)
+        self._make_slots()
         if self.verbose:
             s = self.plan.stats()
             print(
                 f"# levelized {self.netlist.name}: depth {s['depth']}, "
                 f"{s['bootstrap_gates']} bootstrap gates, "
-                f"max width {s['max_level_width']} ({time.time() - t0:.2f}s)"
+                f"max width {s['max_level_width']}, "
+                f"{self._n_ct_slots}/{self.netlist.n_wires} ct slots "
+                f"({time.time() - t0:.2f}s)"
             )
         self.Reset()
 
@@ -268,7 +298,26 @@ class Circuit:
         """Direct IR entry (no file), e.g. from circuits.gen builders."""
         self.netlist = nl
         self.plan = levelize(nl)
+        self._make_slots()
         self.Reset()
+
+    def _make_slots(self) -> None:
+        """Ciphertext-arena slot map (netlist.assign_ct_slots): the device
+        arena is indexed by liveness-reused SLOT, not wire id — the peak
+        live set is a small fraction of n_wires, which is what makes large
+        case batches fit HBM next to the resident keys (VERDICT r4 #4).
+        The plaintext arena stays wire-indexed (host RAM is cheap and
+        verify mode reads it by wire).  OECE_WIRE_SLOTS=0 restores the
+        identity map."""
+        import os as _os
+
+        if _os.environ.get("OECE_WIRE_SLOTS", "1") == "1":
+            self._slot, self._n_ct_slots = assign_ct_slots(
+                self.netlist, self.plan
+            )
+        else:
+            self._slot = np.arange(self.netlist.n_wires, dtype=np.int64)
+            self._n_ct_slots = self.netlist.n_wires
 
     # -- parallelism ---------------------------------------------------------
     def setMesh(self, mesh) -> None:
@@ -373,9 +422,12 @@ class Circuit:
         )
         T = words[0].shape[0]
         self._batch = T
-        n_slots = nl.n_wires + 1  # +1 dummy slot for padded gates
+        # plaintext arena: wire-indexed (+1 dummy slot for padded gates);
+        # ciphertext arena: liveness-reused SLOT-indexed (_make_slots)
+        n_wire_slots = nl.n_wires + 1
+        n_slots = self._n_ct_slots + 1
         if self.plaintext_flag:
-            self._plain_arena = np.zeros((T, n_slots), dtype=np.int8)
+            self._plain_arena = np.zeros((T, n_wire_slots), dtype=np.int8)
             for wd, wires in zip(words, nl.inputs):
                 assert wd.shape == (T, len(wires)), (wd.shape, len(wires))
                 self._plain_arena[:, wires] = wd
@@ -389,16 +441,20 @@ class Circuit:
             assert self.sk is not None, "no keys"
             p = self.params
             arena_gb = n_slots * T * (p.n + 1) * 4 / 2**30
-            if self._on_accel() and arena_gb > 3.0:
-                # STD128_OPT keys hold ~8 GB of a 16 GB-HBM chip; donation
-                # transiently doubles the arena, so ~4 GB arenas OOM
-                # (measured: T=16 on the 135k-wire sha256).  Warn before
-                # the opaque RESOURCE_EXHAUSTED.
+            if self._on_accel() and arena_gb * 2 + self._key_gb() > (
+                0.9 * self._hbm_gb()
+            ):
+                # Donation transiently doubles the arena (old + new alias
+                # windows), so the budget check is keys + 2x arena vs the
+                # actual device memory (ADVICE r4: was a hard-coded 3 GB
+                # threshold assuming a 16 GB chip).  Warn before the opaque
+                # RESOURCE_EXHAUSTED.
                 print(
                     f"WARNING: ciphertext arena {arena_gb:.1f} GB "
-                    f"({n_slots} wires x {T} cases); with device keys "
-                    f"resident this can exhaust HBM — reduce the case "
-                    f"batch (num_loops) or split the run",
+                    f"({n_slots} slots x {T} cases) + {self._key_gb():.1f} GB "
+                    f"resident keys vs ~{self._hbm_gb():.0f} GB device "
+                    f"memory; this can exhaust HBM — reduce the case batch "
+                    f"(num_loops) or split the run",
                     flush=True,
                 )
             if self._on_accel():
@@ -418,17 +474,21 @@ class Circuit:
                     cts = jnp.transpose(
                         cts.reshape(T, len(wires), p.n + 1), (1, 0, 2)
                     )
-                    arena = arena.at[jnp.asarray(wires)].set(cts)
+                    arena = arena.at[jnp.asarray(self._slot[wires])].set(cts)
                 if nl.n_dff and self._state_ct is not None:
-                    arena = arena.at[jnp.asarray(nl.dff_q)].set(self._state_ct)
+                    arena = arena.at[jnp.asarray(self._slot[nl.dff_q])].set(
+                        self._state_ct
+                    )
                 self._ct_arena = arena
             else:
                 arena = np.zeros((n_slots, T, p.n + 1), dtype=np.int32)
                 for wd, wires in zip(words, nl.inputs):
                     cts = lwe.encrypt_bits(self.sk, wd.reshape(-1), self._rng)
-                    arena[wires] = cts.reshape(T, len(wires), p.n + 1).transpose(1, 0, 2)
+                    arena[self._slot[wires]] = cts.reshape(
+                        T, len(wires), p.n + 1
+                    ).transpose(1, 0, 2)
                 if nl.n_dff and self._state_ct is not None:
-                    arena[nl.dff_q] = np.asarray(self._state_ct)
+                    arena[self._slot[nl.dff_q]] = np.asarray(self._state_ct)
                 # else: zero ciphertexts are valid noiseless encryptions of 0,
                 # the correct initial flip-flop state.
                 self._ct_arena = jnp.asarray(arena)
@@ -527,7 +587,7 @@ class Circuit:
             if self.plaintext_flag:
                 self._state_plain = self._plain_arena[:, nl.dff_d].copy()
             if self.encrypted_flag:
-                self._state_ct = self._ct_arena[nl.dff_d]
+                self._state_ct = self._ct_arena[self._slot[nl.dff_d]]
         self.trace.end()
         total = time.time() - t_start
         self.manager_time += total - (self.exec_time - exec0)
@@ -606,8 +666,8 @@ class Circuit:
         B = W * T
         Bpad = _round_up_pow2(B, lo=self._dp())
         arena = self._ct_arena
-        c1 = arena[in0].reshape(B, -1)
-        c2 = arena[in1].reshape(B, -1)
+        c1 = arena[self._slot[in0]].reshape(B, -1)
+        c2 = arena[self._slot[in1]].reshape(B, -1)
         gids = jnp.asarray(np.repeat(gate_ids, T))
         if Bpad != B:
             pad = Bpad - B
@@ -622,7 +682,7 @@ class Circuit:
             out = self._verify_fix(ops, outw, out)
         elif self.recover_flag:
             out = self._recover_fix(ops, out)
-        self._ct_arena = arena.at[outw].set(out)
+        self._ct_arena = arena.at[self._slot[outw]].set(out)
 
     def _recover_fix(self, ops, out):
         """setRecovery eager path: margin-measure + re-encrypt suspects
@@ -679,19 +739,25 @@ class Circuit:
         p = self.params
         dummy = self._ct_arena.shape[0] - 1  # the padded-gate slot
         W = len(ops)
-        CW = max(32, 1024 // max(T, 1))  # gates per chunk: batch <= ~1024
+        # gates per chunk: dispatch batches target the measured B=2048
+        # sweet spot of the rot megakernel (ROOFLINE §4: 2,259 boots/s at
+        # 2048 vs 2,142 at 1024; VERDICT r4 weak #1 flagged the old ~1024
+        # cap as batch starvation for wide levels).
+        CW = max(32, 2048 // max(T, 1))
         for k0 in range(0, W, CW):
             w = min(CW, W - k0)
             Wpad = 32
             while Wpad < w:
                 Wpad *= 2
             sl = slice(k0, k0 + w)
+            # device index arrays are SLOT-mapped; `want` below stays
+            # wire-indexed (the plaintext arena is per-wire)
             i0 = np.full(Wpad, dummy, np.int32)
-            i0[:w] = in0[sl]
+            i0[:w] = self._slot[in0[sl]]
             i1 = np.full(Wpad, dummy, np.int32)
-            i1[:w] = in1[sl]
+            i1[:w] = self._slot[in1[sl]]
             ow = np.full(Wpad, dummy, np.int32)
-            ow[:w] = outw[sl]
+            ow[:w] = self._slot[outw[sl]]
             gg = np.zeros(Wpad, np.int32)
             gg[:w] = gate_ids[sl]
             ov = np.zeros(Wpad, np.int32)
@@ -750,8 +816,8 @@ class Circuit:
         q = self.params.q
         W = len(ops)
         B = W * T
-        a = arena[in0].reshape(B, -1)
-        b = arena[in1].reshape(B, -1)
+        a = arena[self._slot[in0]].reshape(B, -1)
+        b = arena[self._slot[in1]].reshape(B, -1)
         na = lwe.eval_not_batch(a, q)
         nb = lwe.eval_not_batch(b, q)
         and_id = boot.GATE_INDEX[BinGate.AND]
@@ -786,7 +852,7 @@ class Circuit:
             out = self._verify_fix(ops, outw, out)
         elif self.recover_flag:
             out = self._recover_fix(ops, out)
-        self._ct_arena = arena.at[outw].set(out)
+        self._ct_arena = arena.at[self._slot[outw]].set(out)
         for o in ops:  # extra bootstrap accounting for the rewrite
             self.gate_counts["XOR_BOOTSTRAPS"] = (
                 self.gate_counts.get("XOR_BOOTSTRAPS", 0) + 3 * self._batch
@@ -910,8 +976,8 @@ class Circuit:
                 j = k + 1
                 while j < G and int(ops[j]) == o:
                     j += 1
-                idx_in = in0[k:j]
-                idx_out = outw[k:j]
+                idx_in = self._slot[in0[k:j]]
+                idx_out = self._slot[outw[k:j]]
                 if use_jit:
                     # fixed-bucket jitted segment (see _use_level_jit):
                     # pad indices with the dummy slot, ONE dispatch
@@ -964,11 +1030,15 @@ class Circuit:
                     # [bits, T, n+1] ciphertexts through the ~1 MB/s relay)
                     bits = np.asarray(
                         lwe.decrypt_bits_dev(
-                            self._s_dev(), self._ct_arena[wires], self.params.q
+                            self._s_dev(),
+                            self._ct_arena[self._slot[wires]],
+                            self.params.q,
                         )
                     ).astype(np.int32)
                 else:
-                    cts = np.asarray(self._ct_arena[wires])  # [bits, T, n+1]
+                    cts = np.asarray(
+                        self._ct_arena[self._slot[wires]]
+                    )  # [bits, T, n+1]
                     bits = lwe.decrypt_bits(
                         self.sk, cts.reshape(-1, cts.shape[-1])
                     ).reshape(len(wires), self._batch)

@@ -93,6 +93,18 @@ def main():
         print("# " + r.summary(), file=sys.stderr)
         tr = c.trace  # the encrypted pass's trace (last Clock on this circuit)
         widths = [rec.boot_gates for rec in tr.records]
+        # provenance (ADVICE r4: a stale artifact must not masquerade as a
+        # measurement of the current pipeline)
+        try:
+            import subprocess
+
+            rev = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip() or "unknown"
+        except Exception:
+            rev = "unknown"
         doc = {
             "bench": args.bench,
             "circuit_file": fname,
@@ -101,6 +113,11 @@ def main():
             "xor_mode": args.xor_mode,
             "loops": args.loops,
             "verify": not args.no_verify,
+            "provenance": {
+                "git_rev": rev,
+                "layout": os.environ.get("OECE_LAYOUT", "rev2"),
+                "rot_mega": boot.ROT_MEGA,
+            },
             "harness": {
                 "n_cases": r.n_cases,
                 "plain_passed": r.plain_passed,
