@@ -146,6 +146,78 @@ class LevelPlan:
         }
 
 
+def assign_ct_slots(nl: Netlist, plan: "LevelPlan"):
+    """Liveness-based ciphertext-arena slot assignment (VERDICT r4 #4).
+
+    The encrypted arena is the dominant non-key HBM consumer: wire-indexed
+    it holds n_wires x T x (n+1) int32 (sha256 at T=16: ~4.4 GB, OOM next
+    to the ~8 GB resident keys).  But a wire is only *live* from the level
+    that writes it to the last level that reads it, and the peak live set
+    is a small fraction of n_wires (sha256: ~3% — see n_slots in the
+    evaluator's verbose output).  This assigns each wire a reusable SLOT
+    with a free-list, honoring the engine's execution order:
+
+      * a slot freed by a wire last read at level L-1 is reusable for
+        outputs of level >= L (never the same level: within a level,
+        chunked dispatches write outputs before later chunks read inputs);
+      * circuit outputs and DFF state wires are pinned live to the end;
+      * dead gate outputs recycle one level after their write.
+
+    Returns (slot int64 [n_wires] with -1 for never-materialized wires,
+    n_slots).  The reference has no analogue — its wire values are
+    per-gate heap ciphertexts freed by shared_ptr refcount (circuit.cpp's
+    LweSample members); this is the same liveness idea done statically.
+    """
+    import heapq
+
+    n_wires = nl.n_wires
+    NEVER = np.iinfo(np.int64).max
+    last_read = np.full(n_wires, -1, np.int64)
+    no_read_lin = (int(Op.EQ0), int(Op.EQ1))
+    for lv, level in enumerate(plan.levels):
+        np.maximum.at(last_read, level["boot_in0"], lv)
+        np.maximum.at(last_read, level["boot_in1"], lv)
+        rd = level["lin_in0"][~np.isin(level["lin_op"], no_read_lin)]
+        np.maximum.at(last_read, rd, lv)
+    for word in nl.outputs:
+        last_read[word] = NEVER
+    last_read[nl.dff_d] = NEVER
+    last_read[nl.dff_q] = NEVER
+
+    slot = np.full(n_wires, -1, np.int64)
+    free: List[int] = []  # min-heap: deterministic, dense reuse
+    next_slot = 0
+    release_at: dict = {}  # level -> wires whose slots free after it
+
+    def alloc(w: int, lv: int) -> None:
+        nonlocal next_slot
+        if slot[w] >= 0:
+            return
+        if free:
+            slot[w] = heapq.heappop(free)
+        else:
+            slot[w] = next_slot
+            next_slot += 1
+        lr = last_read[w]
+        if lr != NEVER:
+            release_at.setdefault(max(int(lr), lv), []).append(w)
+
+    # wires written before Clock(): circuit inputs + DFF state
+    for word in nl.inputs:
+        for w in word:
+            alloc(int(w), -1)
+    for w in nl.dff_q:
+        alloc(int(w), -1)
+    for lv, level in enumerate(plan.levels):
+        for w in release_at.pop(lv - 1, ()):
+            heapq.heappush(free, int(slot[w]))
+        for w in level["boot_out"]:
+            alloc(int(w), lv)
+        for w in level["lin_out"]:
+            alloc(int(w), lv)
+    return slot, next_slot
+
+
 def levelize(nl: Netlist) -> LevelPlan:
     """ASAP levelization in O(G).
 

@@ -79,6 +79,10 @@ def maybe_resume(circ, path: str) -> int:
         meta = json.loads(bytes(z["meta"]).decode())
         if meta["fingerprint"] != _fingerprint(circ):
             return 0
+        if "ct_arena" in z and z["ct_arena"].shape[0] != circ._n_ct_slots + 1:
+            # saved under a different arena slot map (OECE_WIRE_SLOTS
+            # toggled between save and resume) — not resumable
+            return 0
         if "plain_arena" in z:
             circ._plain_arena = z["plain_arena"]
         if "ct_arena" in z:
