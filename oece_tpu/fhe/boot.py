@@ -61,6 +61,11 @@ PALLAS_INTERPRET = os.environ.get("OECE_PALLAS_INTERPRET") == "1"
 # OECE_ROT_MEGA=0 restores the per-step scan.
 ROT_MEGA = os.environ.get("OECE_ROT_MEGA", "1") == "1"
 
+# H-way VPU/MXU software pipelining inside the rot megakernel (chunk h+1's
+# rotate-diff/decompose overlaps chunk h's MXU dots — pk._rot_megakernel_pipe).
+# 0/1 = single-chunk kernel.
+ROT_PIPE = int(os.environ.get("OECE_ROT_PIPE", "0"))
+
 # Fixed gate enumeration for per-gate test-vector / prep-weight tables.
 GATE_ORDER = [
     BinGate.AND,
@@ -446,10 +451,14 @@ def blind_rotate_ginx_dev(
             # VMEM-resident): removes the per-step launch overhead that
             # dominates small-batch circuit levels
             zlb = max(0, int(np.log2(2 * N // p.q)))
+            pipe = ROT_PIPE
+            if pipe > 1 and min(FUSED_MAX_B, acc.shape[0]) % pipe:
+                pipe = 0  # batch block not divisible; fall back
             return pk.blind_rotate_rot_megakernel(
                 acc, keys.ginx_rev2, a2N, p.Q, p.B_g, p.d_g_used,
                 p.g_shift, block_b=FUSED_MAX_B,
                 interpret=PALLAS_INTERPRET, zero_low_bits=zlb,
+                pipeline=pipe,
             )
 
         def body_rot(carry, xs):

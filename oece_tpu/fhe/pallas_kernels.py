@@ -1282,15 +1282,87 @@ def _rot_megakernel(
         out_ref[:, :, pl.ds(k * TILE, TILE)] = modmath.red31(y, Q)
 
 
+def _rot_megakernel_pipe(
+    rev2_ref, amt_ref, accin_ref, out_ref, *scratch,
+    nt, R, TB, H, Q, B_g, d_used, g_shift, N, b_lo, nsteps,
+):
+    """H-way software-pipelined rotated-difference megakernel (ROOFLINE §4's
+    named lever: overlap the serialized VPU barrel/decompose phase with the
+    MXU dots).  The batch block TB splits into H chunks, each with its OWN
+    accumulator and digit scratch ref, so chunk h+1's rotate-diff+decompose
+    (pure VPU) is syntactically independent of chunk h's matmul+combine
+    (MXU-dominated) and Mosaic can schedule them concurrently:
+
+        dec(0); [dec(1) | mm(0)]; [dec(2) | mm(1)]; ...; mm(H-1)
+
+    Per step the ideal wall drops from dec_total + mm_total to
+    dec_chunk + max(dec, mm)_total-ish — a ~2x bound when the phases are
+    balanced (measured r4: ~480 us VPU + ~470 us MXU per B=1024 step).
+    The accumulators live in scratch across ALL grid steps (copied in from
+    accin at step 0, flushed to out_ref at the last step); rev2/amt stream
+    per step via their index maps exactly like _rot_megakernel.
+    """
+    accs = scratch[:H]
+    digss = scratch[H : 2 * H]
+    TBH = TB // H
+    RT2 = 2 * R * TILE
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        for h in range(H):
+            accs[h][...] = accin_ref[pl.ds(h * TBH, TBH)]
+
+    def make_amt(h):
+        def get_amt(s0, EB, part):  # [1, TB, 2] streamed input
+            return jnp.broadcast_to(
+                amt_ref[0, pl.ds(h * TBH + s0, EB), part : part + 1], (EB, N)
+            )[:, None, :]
+
+        return get_amt
+
+    def dec(h):
+        _rot_diff_decompose(
+            accs[h], make_amt(h), digss[h], nt=nt, R=R, TB=TBH, Q=Q,
+            B_g=B_g, d_used=d_used, g_shift=g_shift, N=N, b_lo=b_lo,
+        )
+
+    def mm(h):
+        for k in range(nt):
+            res = jax.lax.dot_general(
+                digss[h][...],
+                rev2_ref[0, pl.ds((nt - 1 - k) * RT2, nt * RT2), :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            comb = _combine_limbs_tile(res.reshape(TBH, 2, 4, TILE), Q)
+            y = accs[h][:, :, pl.ds(k * TILE, TILE)] + comb  # < 2Q
+            accs[h][:, :, pl.ds(k * TILE, TILE)] = modmath.red31(y, Q)
+
+    dec(0)
+    for h in range(H):
+        if h + 1 < H:
+            dec(h + 1)  # emitted before mm(h): both are independent
+        mm(h)
+
+    @pl.when(pl.program_id(1) == nsteps - 1)
+    def _():
+        for h in range(H):
+            out_ref[pl.ds(h * TBH, TBH)] = accs[h][...]
+
+
 def blind_rotate_rot_megakernel(
     acc, rev2_all, a2N, Q: int, B_g: int, d_used: int, g_shift: int,
     block_b: int = 1024, interpret: bool = False, zero_low_bits: int = 0,
+    pipeline: int = 0,
 ):
     """The whole rotated-difference GINX rotation as ONE pallas_call.
 
     acc      : int32 [B, 2, N]
     rev2_all : int8 [n, (2*nt-1)*2*R*T, 8*T] (devkeygen layout "rev2")
     a2N      : int32 [B, n] in [0, 2N)
+    pipeline : 0/1 = the single-chunk kernel; H>1 = H-way VPU/MXU
+               software pipelining (_rot_megakernel_pipe); H must divide
+               the batch block.
     Bit-exact equal to scanning boot._external_cmux_rot over the steps.
     """
     B, _, N = acc.shape
@@ -1306,20 +1378,37 @@ def blind_rotate_rot_megakernel(
     two_n = 2 * N
     c_pos = (two_n - a2N) & (two_n - 1)
     amt = jnp.transpose(jnp.stack([c_pos, a2N], axis=2), (1, 0, 2))  # [n,B,2]
+    H = int(pipeline) if pipeline and pipeline > 1 else 0
+    if H and TB % H:
+        H = 0  # batch block not divisible by the pipeline depth
     resident = 2 * rev2_all.shape[1] * MT  # step block, double-buffered
     per_chunk = (
         2 * 4 * TB * 2 * N  # accin + out
         + TB * nt * RT2  # digit scratch
         + 2 * 4 * TB * MT  # dot results
+        + (4 * TB * 2 * N if H else 0)  # pipelined acc scratch
     )
     assert resident + per_chunk <= VMEM_PARAMS.vmem_limit_bytes, (
         f"rot megakernel VMEM estimate {(resident + per_chunk) >> 20} MiB "
         f"exceeds budget (TB={TB})"
     )
-    kernel = functools.partial(
-        _rot_megakernel, nt=nt, R=R, TB=TB, Q=Q, B_g=B_g, d_used=d_used,
-        g_shift=g_shift, N=N, b_lo=zero_low_bits,
-    )
+    if H:
+        kernel = functools.partial(
+            _rot_megakernel_pipe, nt=nt, R=R, TB=TB, H=H, Q=Q, B_g=B_g,
+            d_used=d_used, g_shift=g_shift, N=N, b_lo=zero_low_bits,
+            nsteps=nsteps,
+        )
+        scratch = [
+            pltpu.VMEM((TB // H, 2, N), jnp.int32) for _ in range(H)
+        ] + [
+            pltpu.VMEM((TB // H, nt * RT2), jnp.int8) for _ in range(H)
+        ]
+    else:
+        kernel = functools.partial(
+            _rot_megakernel, nt=nt, R=R, TB=TB, Q=Q, B_g=B_g, d_used=d_used,
+            g_shift=g_shift, N=N, b_lo=zero_low_bits,
+        )
+        scratch = [pltpu.VMEM((TB, nt * RT2), jnp.int8)]
     return pl.pallas_call(
         kernel,
         grid=(B // TB, nsteps),
@@ -1335,9 +1424,7 @@ def blind_rotate_rot_megakernel(
             (TB, 2, N), lambda c, i: (c, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, 2, N), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((TB, nt * RT2), jnp.int8),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=None if interpret else VMEM_PARAMS,
     )(rev2_all, amt, acc)

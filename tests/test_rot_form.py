@@ -186,3 +186,33 @@ def test_rot_megakernel_end_to_end_gates(monkeypatch):
             [TRUTH[g](int(a), int(b)) for g, a, b in zip(gids, m1, m2)]
         )
         np.testing.assert_array_equal(lwe.decrypt_bits(sk, out), want)
+
+
+def test_rot_megakernel_pipelined_matches(monkeypatch):
+    """The H-way VPU/MXU-pipelined megakernel (pk._rot_megakernel_pipe) is
+    bit-exact vs the single-chunk kernel for every H, including through the
+    full gate pipeline (MICRO_A, interpret mode)."""
+    monkeypatch.setattr(boot, "PALLAS_INTERPRET", True)
+    monkeypatch.setattr(boot, "ROT_MEGA", True)
+    sk, z, dkeys = devkeygen.device_keygen(MICRO_A, seed=11, layout="rev2")
+    rng = np.random.default_rng(12)
+    B = 16
+    m1 = rng.integers(0, 2, B)
+    m2 = rng.integers(0, 2, B)
+    gids = np.arange(B, dtype=np.int32) % 6
+    c1 = jnp.asarray(lwe.encrypt_bits(sk, m1, rng))
+    c2 = jnp.asarray(lwe.encrypt_bits(sk, m2, rng))
+    monkeypatch.setattr(boot, "ROT_PIPE", 0)
+    want = np.asarray(boot.eval_bin_gate_batch(dkeys, jnp.asarray(gids), c1, c2))
+    truth = np.array([TRUTH[g](int(a), int(b)) for g, a, b in zip(gids, m1, m2)])
+    np.testing.assert_array_equal(lwe.decrypt_bits(sk, want), truth)
+    for H in (2, 4, 8):
+        monkeypatch.setattr(boot, "ROT_PIPE", H)
+        got = np.asarray(
+            boot.eval_bin_gate_batch(dkeys, jnp.asarray(gids), c1, c2)
+        )
+        np.testing.assert_array_equal(got, want)
+    # non-divisible fallback: H that does not divide the batch block
+    monkeypatch.setattr(boot, "ROT_PIPE", 3)
+    got = np.asarray(boot.eval_bin_gate_batch(dkeys, jnp.asarray(gids), c1, c2))
+    np.testing.assert_array_equal(got, want)
