@@ -396,6 +396,9 @@ class Circuit:
         self.manager_time = 0.0
         self.exec_time = 0.0
         self._done = False
+        self._bad_lv_dev = None  # device [depth+1, ops] per-level repairs
+        self._cur_level = 0
+        self.bad_gate_levels = {}  # level -> {op: count} (verify mode)
         # sequential state (DFF extension): values latched on wire dff_q,
         # cleared to 0 at Reset, carried across Clock() cycles.
         self._state_plain: Optional[np.ndarray] = None  # [T, n_dff]
@@ -520,6 +523,15 @@ class Circuit:
         )
         self.trace = Trace(circuit=self.netlist.name, mode=mode)
         self.trace.begin()
+        if self.verify_flag and self._bad_lv_dev is None:
+            import jax.numpy as jnp
+
+            # device [depth+1, ops] accumulator: localizes verify repairs
+            # by level (fetched ONCE at Clock end; the r4 AES run's "15
+            # repaired XOR" had no way to say WHERE they happened)
+            self._bad_lv_dev = jnp.zeros(
+                (self.plan.depth + 1, _N_OPS), jnp.int32
+            )
         start_lv = 0
         if checkpoint_path is not None:
             from . import checkpoint as ckpt_mod
@@ -535,6 +547,7 @@ class Circuit:
             if lv < start_lv:
                 continue
             t0 = time.time()
+            self._cur_level = lv
             b0 = self._bootstraps_run
             self._run_level(level)
             if (
@@ -770,12 +783,14 @@ class Circuit:
                 if self._bad_dev is None:
                     self._bad_dev = jnp.zeros((_N_OPS,), jnp.int32)
                 bad = self._bad_dev
+                bad_lv = self._bad_lv_dev
             else:
                 # the jitted fn ignores `want` outside verify: ship a
                 # 4-byte placeholder, not a (Wpad, T) zeros upload per chunk
                 want = np.zeros((1, 1), np.int32)
                 key = self._next_key() if recover else self._zero_key()
                 bad = jnp.zeros((_N_OPS,), jnp.int32)
+                bad_lv = jnp.zeros((1, _N_OPS), jnp.int32)
             if recover and self._rec_dev is None:
                 self._rec_dev = (
                     jnp.zeros((2, _N_OPS), jnp.int32), jnp.zeros((), jnp.int32)
@@ -787,14 +802,15 @@ class Circuit:
                 T, Wpad, self.verify_flag, p.n, p.q, recover,
                 self.recover_threshold,
             )
-            self._ct_arena, bad, rc, rm = fn(
+            self._ct_arena, bad, bad_lv, rc, rm = fn(
                 self.dkeys, self._s_dev(), self._ct_arena,
                 jnp.asarray(i0), jnp.asarray(i1), jnp.asarray(ow),
                 jnp.asarray(gg), jnp.asarray(ov), jnp.asarray(want), key,
-                bad, rc, rm,
+                bad, bad_lv, jnp.int32(self._cur_level), rc, rm,
             )
             if self.verify_flag:
                 self._bad_dev = bad
+                self._bad_lv_dev = bad_lv
             if recover:
                 self._rec_dev = (rc, rm)
             self._bootstraps_run += w * T
@@ -884,9 +900,14 @@ class Circuit:
             out = jnp.where(bad[:, :, None], fixed, out)
             if self._bad_dev is None:
                 self._bad_dev = jnp.zeros((_N_OPS,), jnp.int32)
+            per_op = bad.sum(axis=1).astype(jnp.int32)
             self._bad_dev = self._bad_dev.at[
                 jnp.asarray(ops.astype(np.int32))
-            ].add(bad.sum(axis=1).astype(jnp.int32))
+            ].add(per_op)
+            if self._bad_lv_dev is not None:
+                self._bad_lv_dev = self._bad_lv_dev.at[
+                    self._cur_level, jnp.asarray(ops.astype(np.int32))
+                ].add(per_op)
             return out
         got = lwe.decrypt_bits(self.sk, np.asarray(out).reshape(W * T, -1)).reshape(W, T)
         bad = got != want_np
@@ -896,6 +917,12 @@ class Circuit:
                 name = Op(int(o)).name
                 cnt = int(bad[ops == o].sum()) if ops.ndim else nbad
                 self.bad_gate_counts[name] = self.bad_gate_counts.get(name, 0) + cnt
+                if cnt:
+                    self.bad_gate_levels.setdefault(self._cur_level, {})[
+                        name
+                    ] = self.bad_gate_levels.get(self._cur_level, {}).get(
+                        name, 0
+                    ) + cnt
                 print(f"Bad {name} fixing")
             fixed = lwe.encrypt_bits(self.sk, want_np.reshape(-1), self._rng).reshape(
                 W, T, -1
@@ -904,7 +931,16 @@ class Circuit:
         return out
 
     def _flush_bad_dev(self) -> None:
-        """Fetch the device bad-gate accumulator (one tiny transfer)."""
+        """Fetch the device bad-gate accumulators (one tiny transfer)."""
+        if getattr(self, "_bad_lv_dev", None) is not None:
+            lv_counts = np.asarray(self._bad_lv_dev)
+            self._bad_lv_dev = None
+            for lv, o in zip(*np.nonzero(lv_counts)):
+                name = Op(int(o)).name
+                d = self.bad_gate_levels.setdefault(int(lv), {})
+                d[name] = d.get(name, 0) + int(lv_counts[lv, o])
+            if self.bad_gate_levels:
+                print(f"bad gates by level: {self.bad_gate_levels}")
         if getattr(self, "_bad_dev", None) is None:
             return
         counts = np.asarray(self._bad_dev)
@@ -1114,17 +1150,19 @@ def _fused_level_fn(
     """Jitted fused level program (see Circuit._run_level_boot_fused).
 
     fn(dkeys, s_dev, arena, in0, in1, outw, gids, opsv, want, key,
-       bad_acc, rec_cnts, rec_max)
-      -> (arena', bad_acc', rec_cnts', rec_max')
+       bad_acc, bad_lv, lv, rec_cnts, rec_max)
+      -> (arena', bad_acc', bad_lv', rec_cnts', rec_max')
 
-    arena is DONATED (the [n_wires, T, n+1] ciphertext arena updates in
-    place on device — no per-level copy).  ``recover`` applies the
+    arena is DONATED (the [n_slots, T, n+1] ciphertext arena updates in
+    place on device — no per-level copy).  ``bad_lv`` is a device
+    [depth+1, ops] accumulator localizing verify repairs by level ``lv``
+    (a placeholder [1, ops] outside verify).  ``recover`` applies the
     margin-based re-encryption of setRecovery (pure encrypted mode)."""
     import jax
     import jax.numpy as jnp
 
     def fn(dkeys, s_dev, arena, in0, in1, outw, gids, opsv, want, key,
-           bad_acc, rec_cnts, rec_max):
+           bad_acc, bad_lv, lv, rec_cnts, rec_max):
         c1 = arena[in0].reshape(Wpad * T, n + 1)
         c2 = arena[in1].reshape(Wpad * T, n + 1)
         g = jnp.repeat(gids, T)
@@ -1137,7 +1175,9 @@ def _fused_level_fn(
                 s_dev, want.reshape(-1), key, dkeys.params
             ).reshape(Wpad, T, n + 1)
             out = jnp.where(bad[:, :, None], fixed, out)
-            bad_acc = bad_acc.at[opsv].add(bad.sum(axis=1).astype(jnp.int32))
+            per_op = bad.sum(axis=1).astype(jnp.int32)
+            bad_acc = bad_acc.at[opsv].add(per_op)
+            bad_lv = bad_lv.at[lv, opsv].add(per_op)
         elif recover:
             bitn, err = lwe.phase_margin_dev(s_dev, out, q)
             aerr = jnp.abs(err)
@@ -1157,7 +1197,7 @@ def _fused_level_fn(
                 rec_max, jnp.max(jnp.where(valid, aerr, 0)).astype(jnp.int32)
             )
         arena = arena.at[outw].set(out)
-        return arena, bad_acc, rec_cnts, rec_max
+        return arena, bad_acc, bad_lv, rec_cnts, rec_max
 
     return jax.jit(fn, donate_argnums=(2,))
 

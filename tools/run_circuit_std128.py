@@ -123,6 +123,9 @@ def main():
                 "plain_passed": r.plain_passed,
                 "enc_passed": r.enc_passed,
                 "bad_gates_fixed": r.bad_gates_fixed,
+                "bad_gate_levels": {
+                    str(lv): d for lv, d in sorted(c.bad_gate_levels.items())
+                },
                 "wall_s": round(r.seconds, 2),
             },
             "encrypted_trace": {
