@@ -47,6 +47,8 @@ import functools
 import math
 from typing import Optional
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -973,6 +975,9 @@ def cmux_epilogue_true(
     )(P, acc, amt_lane)
 
 
+FUSE_PARTS = os.environ.get("OECE_ROT_FUSEPARTS", "0") == "1"
+
+
 def _rot_diff_decompose(
     acc_ref, get_amt, digs_ref, *, nt, R, TB, Q, B_g, d_used, g_shift, N,
     b_lo,
@@ -984,37 +989,56 @@ def _rot_diff_decompose(
     Per part p: d = (X^{c_p} * acc - acc) mod Q, gadget-decomposed into the
     part-interleaved digit scratch (column j*2RT + p*RT + rr*TILE).
     ``get_amt(s0, EB, part)`` returns [EB, 1, N]-broadcastable amounts.
+
+    OECE_ROT_FUSEPARTS=1 merges the two parts' chunk loops so the
+    accumulator chunk is read once and the loop/mask overhead is shared —
+    bit-identical values, different instruction schedule.
     """
     RT = R * TILE
     RT2 = 2 * RT
     EB = math.gcd(TB, 64)  # barrel sub-chunks (Mosaic register pressure)
     lane = jax.lax.broadcasted_iota(jnp.int32, (EB, 2, N), 2)
 
+    def one_part(A, s0, part):
+        c = get_amt(s0, EB, part)
+        cp = c & (N - 1)
+        x = A
+        for b in range(b_lo, int(np.log2(N))):
+            sh = 1 << b
+            rolled = pltpu.roll(x, sh, 2)
+            x = jnp.where((cp & sh) != 0, rolled, x)
+        wrap = (lane < cp) ^ (c >= N)
+        rot = jnp.where(wrap, jnp.where(x == 0, 0, Q - x), x)
+        d = rot - A
+        d = jnp.where(d < 0, d + Q, d)  # (X^c - 1)*acc mod Q
+        for pp in range(2):
+            planes = _decompose_lanes(d[:, pp, :], Q, B_g, d_used, g_shift)
+            for dgt, plane in enumerate(planes):
+                rr = pp * d_used + dgt
+                for j in range(nt):
+                    col = j * RT2 + part * RT + rr * TILE
+                    digs_ref[pl.ds(s0, EB), col : col + TILE] = (
+                        plane[:, j * TILE : (j + 1) * TILE]
+                    )
+
+    if FUSE_PARTS:
+
+        def rot_dec_both(i, carry):
+            s0 = i * EB
+            A = acc_ref[pl.ds(s0, EB)]  # [EB, 2, N] read ONCE for both parts
+            one_part(A, s0, 0)
+            one_part(A, s0, 1)
+            return carry
+
+        jax.lax.fori_loop(0, TB // EB, rot_dec_both, 0)
+        return
+
     for part in (0, 1):
 
         def rot_dec_body(i, carry, part=part):
             s0 = i * EB
             A = acc_ref[pl.ds(s0, EB)]  # [EB, 2, N]
-            c = get_amt(s0, EB, part)
-            cp = c & (N - 1)
-            x = A
-            for b in range(b_lo, int(np.log2(N))):
-                sh = 1 << b
-                rolled = pltpu.roll(x, sh, 2)
-                x = jnp.where((cp & sh) != 0, rolled, x)
-            wrap = (lane < cp) ^ (c >= N)
-            rot = jnp.where(wrap, jnp.where(x == 0, 0, Q - x), x)
-            d = rot - A
-            d = jnp.where(d < 0, d + Q, d)  # (X^c - 1)*acc mod Q
-            for pp in range(2):
-                planes = _decompose_lanes(d[:, pp, :], Q, B_g, d_used, g_shift)
-                for dgt, plane in enumerate(planes):
-                    rr = pp * d_used + dgt
-                    for j in range(nt):
-                        col = j * RT2 + part * RT + rr * TILE
-                        digs_ref[pl.ds(s0, EB), col : col + TILE] = (
-                            plane[:, j * TILE : (j + 1) * TILE]
-                        )
+            one_part(A, s0, part)
             return carry
 
         jax.lax.fori_loop(0, TB // EB, rot_dec_body, 0)

@@ -216,3 +216,25 @@ def test_rot_megakernel_pipelined_matches(monkeypatch):
     monkeypatch.setattr(boot, "ROT_PIPE", 3)
     got = np.asarray(boot.eval_bin_gate_batch(dkeys, jnp.asarray(gids), c1, c2))
     np.testing.assert_array_equal(got, want)
+
+
+def test_rot_fused_parts_bitexact(monkeypatch):
+    """OECE_ROT_FUSEPARTS merges the two parts' barrel chunk loops —
+    bit-identical outputs to the unfused schedule."""
+    monkeypatch.setattr(boot, "PALLAS_INTERPRET", True)
+    monkeypatch.setattr(boot, "ROT_MEGA", True)
+    from oece_tpu.fhe import pallas_kernels as pk
+
+    sk, z, dkeys = devkeygen.device_keygen(MICRO_A, seed=13, layout="rev2")
+    rng = np.random.default_rng(14)
+    B = 8
+    m1 = rng.integers(0, 2, B)
+    m2 = rng.integers(0, 2, B)
+    gids = np.arange(B, dtype=np.int32) % 6
+    c1 = jnp.asarray(lwe.encrypt_bits(sk, m1, rng))
+    c2 = jnp.asarray(lwe.encrypt_bits(sk, m2, rng))
+    monkeypatch.setattr(pk, "FUSE_PARTS", False)
+    want = np.asarray(boot.eval_bin_gate_batch(dkeys, jnp.asarray(gids), c1, c2))
+    monkeypatch.setattr(pk, "FUSE_PARTS", True)
+    got = np.asarray(boot.eval_bin_gate_batch(dkeys, jnp.asarray(gids), c1, c2))
+    np.testing.assert_array_equal(got, want)

@@ -104,7 +104,9 @@ def run_mode(mode, B, iters, rev2, p):
         d_used=p.d_g_used, g_shift=p.g_shift, N=N, b_lo=zlb, mode=mode,
     )
 
-    def call(acc, amt):
+    def call(rev2, acc, amt):
+        # rev2 passes as a jit ARGUMENT: closure capture would bake the
+        # 7.9 GB key into the lowered program (ROOFLINE §1 trap)
         return pl.pallas_call(
             kernel,
             grid=(B // TB, nsteps),
@@ -134,11 +136,11 @@ def run_mode(mode, B, iters, rev2, p):
     key = jax.random.PRNGKey(0)
     acc = jax.random.randint(key, (B, 2, N), 0, p.Q, jnp.int32)
     amt = jax.random.randint(key, (nsteps, B, 2), 0, 2 * N, jnp.int32)
-    np.asarray(fn(acc, amt)[0, 0, :1])  # compile + warmup barrier
+    np.asarray(fn(rev2, acc, amt)[0, 0, :1])  # compile + warmup barrier
     t0 = time.time()
     x = acc
     for _ in range(iters):
-        x = fn(x, amt)  # chained: each run consumes the previous output
+        x = fn(rev2, x, amt)  # chained: each run consumes the previous output
     np.asarray(x[0, 0, :1])
     dt = (time.time() - t0) / iters
     return dt
@@ -166,7 +168,7 @@ def main():
               f"({res[mode]['us_per_step_per_1024gates']} us/step/1024g)",
               flush=True)
     os.makedirs("artifacts", exist_ok=True)
-    with open("artifacts/megakernel_phases.json", "w") as f:
+    with open(f"artifacts/megakernel_phases_B{B}.json", "w") as f:
         json.dump(res, f, indent=1)
     print(json.dumps(res))
 
