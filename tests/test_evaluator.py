@@ -121,3 +121,43 @@ def test_level_jit_padding_uses_dummy_slot(monkeypatch):
     (out,) = c.GetOutput()
     assert (out @ (1 << np.arange(out.shape[1])))[0] == 1 + 3
     assert c.bad_gate_counts == {}, c.bad_gate_counts
+
+
+@pytest.mark.parametrize("level_jit", [False, True])
+def test_verify_repair_localized_by_level(monkeypatch, level_jit):
+    """An induced bootstrap failure is repaired AND localized: corrupting
+    one input ciphertext (bit flip via +q/2 on b) makes the first bootstrap
+    level consuming it disagree with the plaintext model; verify repairs it
+    and bad_gate_levels records exactly which level (round-5 localization —
+    the r4 AES run's repairs could not be placed)."""
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("OECE_LEVEL_JIT", "1" if level_jit else "0")
+    c = Circuit(set="MICRO", method="GINX", seed=31)
+    c.LoadNetlist(parse_asm(ADDER))
+    c.setVerify(True)
+    in1 = np.array([[1, 0]])
+    in2 = np.array([[1, 1]])
+    c.SetInput([in1, in2])
+    w = int(c.netlist.inputs[0][0])
+    slot = int(c._slot[w])
+    c._ct_arena = c._ct_arena.at[slot, 0, -1].add(c.params.q // 2)
+    c.Clock()
+    (out,) = c.GetOutput()
+    # outputs repaired to the plaintext-correct sum
+    assert (out @ (1 << np.arange(out.shape[1])))[0] == 1 + 3
+    assert c.bad_gate_counts, "corruption must surface as repaired gates"
+    assert c.bad_gate_levels, "repairs must be localized"
+    # the corrupted wire's first consumers sit in the earliest levels: every
+    # recorded repair level must contain a gate reading the corrupted wire
+    bad_lvls = set(c.bad_gate_levels)
+    reading = {
+        lv
+        for lv, level in enumerate(c.plan.levels)
+        if w in level["boot_in0"] or w in level["boot_in1"]
+    }
+    assert bad_lvls <= reading, (bad_lvls, reading)
+    total_by_level = sum(
+        sum(d.values()) for d in c.bad_gate_levels.values()
+    )
+    assert total_by_level == sum(c.bad_gate_counts.values())
