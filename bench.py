@@ -13,8 +13,9 @@ than a slower benchmark):
     compile hangs is killed without taking the benchmark down.
   * Tier "split" = the r3 prebuilt-diagonal pipeline (devkeygen layout
     "rev": window_matmul_dec_true + cmux_epilogue_true).  Tier "rot" = the
-    lever-2 fused rotated-difference step (layout "rev2": pk.rot_step_true,
-    rotation before decomposition, no epilogue kernel — ROOFLINE §4).  The
+    rotated-difference WHOLE-ROTATION MEGAKERNEL (layout "rev2",
+    pk.blind_rotate_rot_megakernel — default-on since round 5; ROOFLINE
+    §4-6), i.e. the exact default pipeline a Circuit run executes.  The
     two tiers run genuinely different kernels (VERDICT r3 #6); the best
     verified number wins.
   * SIGTERM/SIGALRM print the best-so-far JSON before exiting, so even an

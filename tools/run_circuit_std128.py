@@ -41,6 +41,16 @@ def main():
     ap.add_argument("--loops", type=int, default=4)
     ap.add_argument("--no-verify", action="store_true")
     ap.add_argument("--xor-mode", default="native", choices=["native", "compound"])
+    ap.add_argument(
+        "--repeat", type=int, default=1,
+        help="run the harness N times IN-PROCESS and record the last run: "
+        "rep 1 pays the XLA compiles, rep N measures pure steady-state "
+        "execution with the freshly-compiled executables.  (The on-disk "
+        "executable cache is NOT a substitute on this rig: cache-LOADED "
+        "executables execute ~15x slower through the relay when a run "
+        "alternates between many programs — measured round 5 — while "
+        "fresh-compiled ones run at full speed.)",
+    )
     args = ap.parse_args()
 
     from oece_tpu.fhe import boot, keycache
@@ -81,15 +91,18 @@ def main():
     t_start = time.time()
     for fname, test_fn in [CASES[args.bench]]:
         print(f"# running {fname}", file=sys.stderr)
-        r = test_fn(
-            fname,
-            num_loops=args.loops,
-            circuit=c,
-            set=args.set,
-            method=args.method,
-            verify=not args.no_verify,
-            verbose=True,
-        )
+        for rep in range(args.repeat):
+            r = test_fn(
+                fname,
+                num_loops=args.loops,
+                circuit=c,
+                set=args.set,
+                method=args.method,
+                verify=not args.no_verify,
+                verbose=True,
+            )
+            print(f"# rep {rep + 1}/{args.repeat}: " + r.summary(),
+                  file=sys.stderr)
         print("# " + r.summary(), file=sys.stderr)
         tr = c.trace  # the encrypted pass's trace (last Clock on this circuit)
         widths = [rec.boot_gates for rec in tr.records]
@@ -117,6 +130,8 @@ def main():
                 "git_rev": rev,
                 "layout": os.environ.get("OECE_LAYOUT", "rev2"),
                 "rot_mega": boot.ROT_MEGA,
+                "repeat": args.repeat,
+                "compile_cache": os.environ.get("OECE_NO_COMPILE_CACHE") != "1",
             },
             "harness": {
                 "n_cases": r.n_cases,
