@@ -175,6 +175,7 @@ class Circuit:
         self.encrypted_flag = False
         self.verify_flag = False
         self.recover_flag = False
+        self._recover_explicit = False
         self.recover_threshold = self.params.q // 16
 
         self._plain_arena: Optional[np.ndarray] = None  # int8 [T, n_wires+1]
@@ -373,13 +374,29 @@ class Circuit:
         ``recover_counts`` / ``max_phase_err`` — bad-gate statistics that do
         not require verify mode.
 
-        Limitation (shared with the reference): an already-flipped bit
-        (|error| >= q/8) decodes wrong and is repaired to the WRONG value;
-        no mechanism can detect that without the plaintext model.  The
-        threshold catches the drifting-but-not-yet-flipped population,
-        which is the only recoverable one.
+        Round 5 adds the INPUT side (fused TPU path): before each level's
+        bootstraps, the PREP phase (w1*c1 + w2*c2 — the value the blind
+        rotation actually decides on) is margin-checked against the gate's
+        own decision window (q/8 for AND-family, q/4 for XOR/XNOR, halved
+        as the threshold) and drifting preps are re-encrypted fresh from
+        their decoded lattice point — the batched, proactive form of the
+        reference's decrypt/re-encrypt/retry (gate.cpp:131-152).  This is
+        the mechanism that catches the measured native-XOR failure mode
+        (NOISE.md §3): an input-side flip produces a HEALTHY-looking
+        output ciphertext of the wrong bit, invisible to any output-side
+        check.  Recovery is AUTO-ENABLED for pure-encrypted (non-verify)
+        Clock() runs unless explicitly disabled (setRecovery(False) or
+        OECE_AUTO_RECOVER=0).
+
+        Limitation (shared with the reference): an already-flipped value
+        (|error| past the window boundary) decodes wrong and is repaired
+        to the WRONG value; no mechanism can detect that without the
+        plaintext model.  The thresholds catch the
+        drifting-but-not-yet-flipped population, which is the only
+        recoverable one.
         """
         self.recover_flag = bool(flag)
+        self._recover_explicit = True
         if flag:
             self.encrypted_flag = True
         self.recover_threshold = (
@@ -516,6 +533,19 @@ class Circuit:
             raise RuntimeError("Circuit already evaluated; call Reset (circuit.cpp:538-541)")
         t_start = time.time()
         exec0 = self.exec_time
+        import os as _os
+
+        if (
+            self.encrypted_flag
+            and not self.verify_flag
+            and not self._recover_explicit
+            and _os.environ.get("OECE_AUTO_RECOVER", "1") == "1"
+        ):
+            # pure-encrypted runs are margin-protected BY DEFAULT (the
+            # reference's always-on try/catch repair, gate.cpp:131-152;
+            # see setRecovery — VERDICT r4 #5 "make pure-encrypted runs
+            # safe by default")
+            self.recover_flag = True
         mode = (
             "verify"
             if self.verify_flag
@@ -698,8 +728,9 @@ class Circuit:
         self._ct_arena = arena.at[self._slot[outw]].set(out)
 
     def _recover_fix(self, ops, out):
-        """setRecovery eager path: margin-measure + re-encrypt suspects
-        (host backend; the fused level fn handles the TPU path)."""
+        """setRecovery eager path: OUTPUT margin-measure + re-encrypt
+        suspects (host/sharded backends; the fused TPU path additionally
+        repairs drifting PREPS input-side — see _fused_level_fn)."""
         import jax.numpy as jnp
 
         q = self.params.q
@@ -793,10 +824,10 @@ class Circuit:
                 bad_lv = jnp.zeros((1, _N_OPS), jnp.int32)
             if recover and self._rec_dev is None:
                 self._rec_dev = (
-                    jnp.zeros((2, _N_OPS), jnp.int32), jnp.zeros((), jnp.int32)
+                    jnp.zeros((3, _N_OPS), jnp.int32), jnp.zeros((), jnp.int32)
                 )
             rc, rm = self._rec_dev if self._rec_dev is not None else (
-                jnp.zeros((2, _N_OPS), jnp.int32), jnp.zeros((), jnp.int32)
+                jnp.zeros((3, _N_OPS), jnp.int32), jnp.zeros((), jnp.int32)
             )
             fn = _fused_level_fn(
                 T, Wpad, self.verify_flag, p.n, p.q, recover,
@@ -970,6 +1001,12 @@ class Circuit:
             self.recover_counts["HARD"] = (
                 self.recover_counts.get("HARD", 0) + nhard
             )
+        if cnts.shape[0] > 2:  # input-side prep repairs (round 5)
+            for o in np.nonzero(cnts[2])[0]:
+                name = f"IN_{Op(int(o)).name}"
+                self.recover_counts[name] = self.recover_counts.get(
+                    name, 0
+                ) + int(cnts[2, o])
         if self.recover_counts:
             print(f"recovery: re-encrypted {self.recover_counts}")
 
@@ -1166,8 +1203,34 @@ def _fused_level_fn(
         c1 = arena[in0].reshape(Wpad * T, n + 1)
         c2 = arena[in1].reshape(Wpad * T, n + 1)
         g = jnp.repeat(gids, T)
-        out = boot.eval_bin_gate_batch(dkeys, g, c1, c2).reshape(Wpad, T, n + 1)
         valid = (outw < arena.shape[0] - 1)[:, None]  # mask padded lanes
+        prep = boot.prepare_gates(c1, c2, g, q)
+        if recover:
+            # INPUT-side margin repair (setRecovery round-5 extension):
+            # the prep phase is what the blind rotation decides on, and an
+            # out-of-window prep yields a healthy-LOOKING ciphertext of
+            # the wrong bit — undetectable on the output side.  Snap each
+            # drifting prep to its nearest lattice point (multiples of
+            # q/4) and re-encrypt it fresh (gate.cpp:131-152, batched).
+            key, key_in = jax.random.split(key)
+            pphase = (
+                prep[:, n] - jnp.einsum("bi,i->b", prep[:, :n], s_dev)
+            ) % q
+            quarters = ((pphase + q // 8) // (q // 4)) % 4
+            err_in = (pphase + q // 8) % (q // 4) - q // 8
+            # per-gate decision margin on the prep: XOR/XNOR windows are
+            # q/4 wide to each side, AND-family q/8; threshold = half
+            is_xor = (g == 4) | (g == 5)
+            thr = jnp.where(is_xor, q // 8, q // 16)
+            suspect_in = (jnp.abs(err_in) >= thr) & jnp.repeat(
+                valid[:, 0], T
+            )
+            fixed_in = lwe.encrypt_bits_dev(s_dev, quarters, key_in, dkeys.params)
+            prep = jnp.where(suspect_in[:, None], fixed_in, prep)
+            rec_cnts = rec_cnts.at[2, jnp.repeat(opsv, T)].add(
+                suspect_in.astype(jnp.int32)
+            )
+        out = boot.bootstrap_batch(prep, g, dkeys).reshape(Wpad, T, n + 1)
         if verify:
             got = lwe.decrypt_bits_dev(s_dev, out, q)  # [Wpad, T]
             bad = (got != want) & valid

@@ -141,6 +141,8 @@ def main():
                 "bad_gate_levels": {
                     str(lv): d for lv, d in sorted(c.bad_gate_levels.items())
                 },
+                "recover_counts": dict(c.recover_counts),
+                "max_phase_err": c.max_phase_err,
                 "wall_s": round(r.seconds, 2),
             },
             "encrypted_trace": {
@@ -169,9 +171,12 @@ def main():
 
     os.makedirs("artifacts", exist_ok=True)
     base = os.path.basename(results[0]["circuit_file"]).rsplit(".", 1)[0]
-    # the canonical artifact is the reference-parity 4-vector run; variant
-    # batch sizes get their own name so they never clobber it
+    # the canonical artifact is the reference-parity 4-vector verify run;
+    # variant batch sizes / pure-encrypted runs get their own name so they
+    # never clobber it
     suffix = "" if args.loops == 4 else f"_T{args.loops}"
+    if args.no_verify:
+        suffix += "_pure"
     path = f"artifacts/{base}_{args.set.lower()}{suffix}.json"
     with open(path, "w") as f:
         json.dump(results if len(results) > 1 else results[0], f, indent=1)
