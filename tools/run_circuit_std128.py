@@ -67,6 +67,7 @@ def main():
         "aes": (f"{R}/old_bristol_ckts/crypto/AES-expanded.txt", tl.test_aes),
         "adder_32bit": (f"{R}/old_bristol_ckts/arith/adder_32bit.txt", tl.test_adder),
         "mult_32x32": (f"{R}/old_bristol_ckts/arith/mult_32x32.txt", tl.test_multiplier),
+        "des": (f"{R}/old_bristol_ckts/crypto/DES-expanded.txt", tl.test_des),
     }
 
     params = get_params(args.set)
