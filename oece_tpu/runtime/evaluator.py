@@ -414,8 +414,14 @@ class Circuit:
         self.exec_time = 0.0
         self._done = False
         self._bad_lv_dev = None  # device [depth+1, ops] per-level repairs
+        self._bad_mask_dev = None  # device [depth+1, Wmax, T] per-LANE repairs
         self._cur_level = 0
         self.bad_gate_levels = {}  # level -> {op: count} (verify mode)
+        # OECE_BAD_TRACE=1: exact (level, lane, case, op, wire) of every
+        # verify repair — the localization the AES-anomaly hunt needs
+        # (NOISE.md §3: 15 flips at "one structural position per round"
+        # could previously be placed only to a LEVEL, not a gate).
+        self.bad_gate_lanes: List[dict] = []
         # sequential state (DFF extension): values latched on wire dff_q,
         # cleared to 0 at Reset, carried across Clock() cycles.
         self._state_plain: Optional[np.ndarray] = None  # [T, n_dff]
@@ -561,6 +567,32 @@ class Circuit:
             # repaired XOR" had no way to say WHERE they happened)
             self._bad_lv_dev = jnp.zeros(
                 (self.plan.depth + 1, _N_OPS), jnp.int32
+            )
+        import os as _os_bt
+
+        if (
+            self.verify_flag
+            and self._bad_mask_dev is None
+            and _os_bt.environ.get("OECE_BAD_TRACE", "0") == "1"
+        ):
+            import jax.numpy as jnp
+
+            # lane-resolution repair trace: int8 cube covering every level's
+            # padded dispatch lanes (a few MB even for sha256; fetched once)
+            T = self._batch
+            CW = max(32, 2048 // max(T, 1))
+            wmax = 32
+            for level in self.plan.levels:
+                W = len(level["boot_op"])
+                if W == 0:
+                    continue
+                last0 = (max(W - 1, 0) // CW) * CW
+                wp = 32
+                while wp < min(CW, W - last0):
+                    wp *= 2
+                wmax = max(wmax, last0 + wp)
+            self._bad_mask_dev = jnp.zeros(
+                (self.plan.depth + 1, wmax, self._batch), jnp.int8
             )
         start_lv = 0
         if checkpoint_path is not None:
@@ -829,16 +861,28 @@ class Circuit:
             rc, rm = self._rec_dev if self._rec_dev is not None else (
                 jnp.zeros((3, _N_OPS), jnp.int32), jnp.zeros((), jnp.int32)
             )
+            trace_bad = self.verify_flag and self._bad_mask_dev is not None
             fn = _fused_level_fn(
                 T, Wpad, self.verify_flag, p.n, p.q, recover,
-                self.recover_threshold,
+                self.recover_threshold, trace_bad,
             )
-            self._ct_arena, bad, bad_lv, rc, rm = fn(
-                self.dkeys, self._s_dev(), self._ct_arena,
-                jnp.asarray(i0), jnp.asarray(i1), jnp.asarray(ow),
-                jnp.asarray(gg), jnp.asarray(ov), jnp.asarray(want), key,
-                bad, bad_lv, jnp.int32(self._cur_level), rc, rm,
-            )
+            if trace_bad:
+                (
+                    self._ct_arena, bad, bad_lv, rc, rm, self._bad_mask_dev,
+                ) = fn(
+                    self.dkeys, self._s_dev(), self._ct_arena,
+                    jnp.asarray(i0), jnp.asarray(i1), jnp.asarray(ow),
+                    jnp.asarray(gg), jnp.asarray(ov), jnp.asarray(want),
+                    key, bad, bad_lv, jnp.int32(self._cur_level), rc, rm,
+                    self._bad_mask_dev, jnp.int32(k0),
+                )
+            else:
+                self._ct_arena, bad, bad_lv, rc, rm = fn(
+                    self.dkeys, self._s_dev(), self._ct_arena,
+                    jnp.asarray(i0), jnp.asarray(i1), jnp.asarray(ow),
+                    jnp.asarray(gg), jnp.asarray(ov), jnp.asarray(want), key,
+                    bad, bad_lv, jnp.int32(self._cur_level), rc, rm,
+                )
             if self.verify_flag:
                 self._bad_dev = bad
                 self._bad_lv_dev = bad_lv
@@ -939,9 +983,24 @@ class Circuit:
                 self._bad_lv_dev = self._bad_lv_dev.at[
                     self._cur_level, jnp.asarray(ops.astype(np.int32))
                 ].add(per_op)
+            if self._bad_mask_dev is not None:
+                # lanes index this dispatch's gate order (= the level's boot
+                # order on the native path; the compound-XOR subset order on
+                # the xor_mode="compound" rewrite path)
+                self._bad_mask_dev = self._bad_mask_dev.at[
+                    self._cur_level, :W
+                ].max(bad.astype(jnp.int8))
             return out
         got = lwe.decrypt_bits(self.sk, np.asarray(out).reshape(W * T, -1)).reshape(W, T)
         bad = got != want_np
+        if np.any(bad) and self._bad_mask_dev is not None:
+            # host backend: record lanes directly (no device cube round-trip)
+            for lane, case in zip(*np.nonzero(bad)):
+                self.bad_gate_lanes.append({
+                    "level": self._cur_level, "lane": int(lane),
+                    "case": int(case), "op": Op(int(ops[lane])).name,
+                    "wire": int(outw[lane]),
+                })
         if np.any(bad):
             nbad = int(bad.sum())
             for o in np.unique(ops):
@@ -963,6 +1022,19 @@ class Circuit:
 
     def _flush_bad_dev(self) -> None:
         """Fetch the device bad-gate accumulators (one tiny transfer)."""
+        if getattr(self, "_bad_mask_dev", None) is not None:
+            cube = np.asarray(self._bad_mask_dev)
+            self._bad_mask_dev = None
+            for lv, lane, case in zip(*np.nonzero(cube)):
+                lv, lane, case = int(lv), int(lane), int(case)
+                rec = {"level": lv, "lane": lane, "case": case}
+                level = self.plan.levels[lv] if lv < len(self.plan.levels) else None
+                if level is not None and lane < len(level["boot_op"]):
+                    rec["op"] = Op(int(level["boot_op"][lane])).name
+                    rec["wire"] = int(level["boot_out"][lane])
+                self.bad_gate_lanes.append(rec)
+            if self.bad_gate_lanes:
+                print(f"bad gate lanes: {self.bad_gate_lanes}")
         if getattr(self, "_bad_lv_dev", None) is not None:
             lv_counts = np.asarray(self._bad_lv_dev)
             self._bad_lv_dev = None
@@ -1182,7 +1254,7 @@ def _jit_gate_batch(dkeys, gids, c1, c2):
 @functools.lru_cache(maxsize=None)
 def _fused_level_fn(
     T: int, Wpad: int, verify: bool, n: int, q: int,
-    recover: bool = False, thresh: int = 0,
+    recover: bool = False, thresh: int = 0, trace_bad: bool = False,
 ):
     """Jitted fused level program (see Circuit._run_level_boot_fused).
 
@@ -1199,7 +1271,8 @@ def _fused_level_fn(
     import jax.numpy as jnp
 
     def fn(dkeys, s_dev, arena, in0, in1, outw, gids, opsv, want, key,
-           bad_acc, bad_lv, lv, rec_cnts, rec_max):
+           bad_acc, bad_lv, lv, rec_cnts, rec_max,
+           bad_mask=None, k0=None):
         c1 = arena[in0].reshape(Wpad * T, n + 1)
         c2 = arena[in1].reshape(Wpad * T, n + 1)
         g = jnp.repeat(gids, T)
@@ -1241,6 +1314,12 @@ def _fused_level_fn(
             per_op = bad.sum(axis=1).astype(jnp.int32)
             bad_acc = bad_acc.at[opsv].add(per_op)
             bad_lv = bad_lv.at[lv, opsv].add(per_op)
+            if trace_bad:
+                rows = k0 + jnp.arange(Wpad)[:, None]
+                cols = jnp.arange(T)[None, :]
+                bad_mask = bad_mask.at[lv, rows, cols].max(
+                    bad.astype(jnp.int8)
+                )
         elif recover:
             bitn, err = lwe.phase_margin_dev(s_dev, out, q)
             aerr = jnp.abs(err)
@@ -1260,8 +1339,12 @@ def _fused_level_fn(
                 rec_max, jnp.max(jnp.where(valid, aerr, 0)).astype(jnp.int32)
             )
         arena = arena.at[outw].set(out)
+        if trace_bad:
+            return arena, bad_acc, bad_lv, rec_cnts, rec_max, bad_mask
         return arena, bad_acc, bad_lv, rec_cnts, rec_max
 
+    if trace_bad:
+        return jax.jit(fn, donate_argnums=(2, 15))
     return jax.jit(fn, donate_argnums=(2,))
 
 

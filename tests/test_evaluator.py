@@ -161,3 +161,40 @@ def test_verify_repair_localized_by_level(monkeypatch, level_jit):
         sum(d.values()) for d in c.bad_gate_levels.values()
     )
     assert total_by_level == sum(c.bad_gate_counts.values())
+
+
+@pytest.mark.parametrize("level_jit", [False, True])
+def test_verify_repair_localized_by_lane(monkeypatch, level_jit):
+    """OECE_BAD_TRACE=1 places each verify repair at an exact
+    (level, lane, case, op, wire) — gate resolution, not just level counts
+    (the instrumentation the NOISE.md §3 AES-anomaly hunt needs).  The
+    induced corruption sits in case 1 of 2, so the recorded lanes must all
+    carry case==1, and each lane must map to a gate reading the corrupted
+    wire."""
+    monkeypatch.setenv("OECE_LEVEL_JIT", "1" if level_jit else "0")
+    monkeypatch.setenv("OECE_BAD_TRACE", "1")
+    c = Circuit(set="MICRO", method="GINX", seed=31)
+    c.LoadNetlist(parse_asm(ADDER))
+    c.setVerify(True)
+    in1 = np.array([[1, 0], [0, 1]])
+    in2 = np.array([[1, 1], [1, 0]])
+    c.SetInput([in1, in2])
+    w = int(c.netlist.inputs[0][0])
+    slot = int(c._slot[w])
+    c._ct_arena = c._ct_arena.at[slot, 1, -1].add(c.params.q // 2)
+    c.Clock()
+    (out,) = c.GetOutput()
+    assert list(unbits(out)) == [1 + 3, 2 + 1]
+    assert c.bad_gate_lanes, "lane trace must record the induced repairs"
+    n_lanes = len(c.bad_gate_lanes)
+    assert n_lanes == sum(c.bad_gate_counts.values()), (
+        c.bad_gate_lanes, c.bad_gate_counts,
+    )
+    for rec in c.bad_gate_lanes:
+        assert rec["case"] == 1, rec  # only case 1 was corrupted
+        level = c.plan.levels[rec["level"]]
+        assert rec["wire"] == int(level["boot_out"][rec["lane"]])
+        # the repaired gate reads the corrupted wire (first consumers)
+        ins = (int(level["boot_in0"][rec["lane"]]),
+               int(level["boot_in1"][rec["lane"]]))
+        assert w in ins, (rec, ins)

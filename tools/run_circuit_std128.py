@@ -142,6 +142,10 @@ def main():
                 "bad_gate_levels": {
                     str(lv): d for lv, d in sorted(c.bad_gate_levels.items())
                 },
+                # OECE_BAD_TRACE=1: exact (level, lane, case, op, wire) of
+                # each repair — the gate-resolution evidence the AES-anomaly
+                # root-cause needs (NOISE.md §3)
+                "bad_gate_lanes": list(getattr(c, "bad_gate_lanes", [])),
                 "recover_counts": dict(c.recover_counts),
                 "max_phase_err": c.max_phase_err,
                 "wall_s": round(r.seconds, 2),
